@@ -1,0 +1,26 @@
+"""NLP transcriptions of the landing trajectory-optimization families.
+
+Each problem is a pure-function triple (cost, eq, ineq) over a flat decision
+vector z and a runtime parameter pytree theta — the TPU-native analogue of
+the reference's CasADi ``Opti`` + ``opti.parameter`` stacks (everything that
+was an ``opti.parameter`` is a theta leaf; shapes and schedule structure are
+compile-time static).
+"""
+
+from .landing import (
+    LandingConfig,
+    LandingParams,
+    LandingProblem,
+    LandingVars,
+    kinodynamic_problem,
+    srbm_lcp_problem,
+)
+
+__all__ = [
+    "LandingConfig",
+    "LandingParams",
+    "LandingProblem",
+    "LandingVars",
+    "kinodynamic_problem",
+    "srbm_lcp_problem",
+]
