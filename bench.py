@@ -1,0 +1,66 @@
+"""Benchmark: batched landing trajectory-optimization throughput on TPU.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: converged SRBM-LCP landing solves/s on one chip (cold start, full
+interior-point solve to the reference tolerance contract).  Baseline for
+vs_baseline: the BASELINE.json north star of >= 1000 solves/s on a v5e-8,
+i.e. 125 solves/s/chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_PER_CHIP = 125.0  # north star 1000 solves/s on 8 chips
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from landing_controller_tpu.api import LandingSolver
+
+    solver = LandingSolver("srbm_lcp", dtype=jnp.float32)
+
+    B = 32
+    rng = np.random.default_rng(0)
+    q0s = np.zeros((B, 6), np.float32)
+    q0s[:, 2] = 0.6
+    q0s[:, 3] = rng.uniform(-0.25, 0.25, B)
+    q0s[:, 4] = rng.uniform(-np.pi / 3, np.pi / 3, B)
+    q0s[:, 5] = rng.uniform(-0.25, 0.25, B)
+    qd0s = np.zeros((B, 6), np.float32)
+    qd0s[:, :3] = rng.uniform(-0.5, 0.5, (B, 3))
+    qd0s[:, 3:5] = rng.uniform(-1, 1, (B, 2))
+    qd0s[:, 5] = -rng.uniform(0.5, 5.0, B)
+
+    q0s = jnp.asarray(q0s)
+    qd0s = jnp.asarray(qd0s)
+
+    # compile
+    sols = solver.solve_batch(q0s, qd0s)
+    jax.block_until_ready(sols.z)
+    # timed
+    t0 = time.time()
+    sols = solver.solve_batch(q0s, qd0s)
+    jax.block_until_ready(sols.z)
+    dt = time.time() - t0
+
+    n_conv = int(np.array(sols.converged).sum())
+    value = n_conv / dt
+    print(
+        json.dumps(
+            {
+                "metric": "converged_landing_solves_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(value / BASELINE_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""High-level solve API — the analogue of the reference's compiled
+``landingCtrller_*.casadi`` artifacts (SURVEY.md §2.1 L4).
+
+A :class:`LandingSolver` wraps (problem transcription, scaling, IP solver)
+into one jitted, vmappable function of the scenario: the "artifact" is the
+XLA executable produced on first call (the reference's gcc-compiled .so
+becomes the XLA compile cache — SURVEY.md §7.1).
+
+Example::
+
+    solver = LandingSolver("srbm_lcp")
+    sol = solver.solve(q_init, qd_init)          # one scenario
+    sols = solver.solve_batch(q_inits, qd_inits) # vmapped scenario batch
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .models import get_robot_params
+from .problems.landing import LandingProblem, kinodynamic_problem, srbm_lcp_problem
+from .solver import IPConfig, solve
+from .solver.scaling import landing_z_scale, scale_problem
+from .warmstart.reference import (
+    initial_guess_from_reference,
+    kinodynamic_params,
+    srbm_lcp_params,
+)
+
+
+class LandingSolution(NamedTuple):
+    X: jnp.ndarray  # (N, 12) base trajectory
+    jpos: jnp.ndarray  # (N-1, 12) joint angles (empty for srbm_lcp)
+    U: jnp.ndarray  # (N-1, 24) foot positions + GRFs
+    tau: jnp.ndarray  # (N-1, 12) Jacobian-transpose joint torques
+    z: jnp.ndarray  # flat solution (reference layout)
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    kkt_error: jnp.ndarray
+    constr_viol: jnp.ndarray
+    cost: jnp.ndarray
+
+
+_PROBLEMS = {
+    "kinodynamic": (kinodynamic_problem, kinodynamic_params),
+    "srbm_lcp": (srbm_lcp_problem, srbm_lcp_params),
+}
+
+
+class LandingSolver:
+    """Jit-compiled landing trajectory optimizer for one problem family."""
+
+    def __init__(
+        self,
+        kind: str = "kinodynamic",
+        n_knots: int = 21,
+        robot: str = "mc3D",
+        config: IPConfig | None = None,
+        dtype=jnp.float32,
+    ):
+        if kind not in _PROBLEMS:
+            raise KeyError(f"unknown problem kind '{kind}'; available: {sorted(_PROBLEMS)}")
+        self.kind = kind
+        self.robot = robot
+        self.dtype = dtype
+        self.robot_params = get_robot_params(robot)
+        problem_fn, params_fn = _PROBLEMS[kind]
+        self.problem: LandingProblem = problem_fn(self.robot_params, n_knots=n_knots)
+        self._params_fn = params_fn
+        if config is None:
+            # f32 defaults trade the last decade of mu for conditioning room
+            config = IPConfig(
+                max_iter=250,
+                hessian_mode="gn",
+                mu_min=1e-5 if dtype == jnp.float32 else 1e-6,
+                sigma_max=1e5 if dtype == jnp.float32 else 1e8,
+                tol=2e-4 if dtype == jnp.float32 else 1e-4,
+                refine_steps=2 if dtype == jnp.float32 else 1,
+                relax_scale=1.0,
+            )
+        self.config = config
+        self._z_scale = landing_z_scale(self.problem)
+        self._solve_one = jax.jit(self._solve_impl)
+        self._solve_vmap = jax.jit(jax.vmap(self._solve_impl))
+
+    def build_params(self, q_init, qd_init):
+        """Scenario -> runtime parameter pytree (no recompilation)."""
+        return self._params_fn(
+            jnp.asarray(q_init, self.dtype), jnp.asarray(qd_init, self.dtype),
+            n_knots=self.problem.config.n_knots, robot=self.robot,
+        )
+
+    def _solve_impl(self, q_init, qd_init, z0=None):
+        prob = self.problem
+        theta = self.build_params(q_init, qd_init)
+        if z0 is None:
+            z0 = initial_guess_from_reference(prob, theta)
+        z0 = z0.astype(self.dtype)
+        snlp = scale_problem(
+            partial(prob.cost, theta=theta),
+            partial(prob.eq, theta=theta),
+            partial(prob.ineq, theta=theta),
+            z0,
+            z_scale=self._z_scale.astype(self.dtype),
+        )
+        res = solve(
+            snlp.cost,
+            snlp.eq,
+            snlp.ineq,
+            snlp.to_scaled(z0),
+            self.config,
+            relax_mask=self.problem.relax_mask().astype(self.dtype),
+        )
+        z = snlp.from_scaled(res.z)
+        v = prob.unpack(z)
+        if prob.config.kinodynamic:
+            from .dynamics.legs import leg_torques
+
+            tau = jax.vmap(
+                lambda jp, x, u: leg_torques(self.robot_params, jp, x[3:6], u[12:])
+            )(v.jpos, v.X[:-1], v.U)
+        else:
+            tau = jnp.zeros((prob.config.n_knots - 1, 12), self.dtype)
+        return LandingSolution(
+            X=v.X,
+            jpos=v.jpos,
+            U=v.U,
+            tau=tau,
+            z=z,
+            converged=res.converged,
+            iterations=res.iterations,
+            kkt_error=res.kkt_error,
+            constr_viol=res.constr_viol,
+            cost=res.cost,
+        )
+
+    def solve(self, q_init, qd_init, z0=None) -> LandingSolution:
+        """Solve one scenario (jit-cached after first call)."""
+        return self._solve_one(q_init, qd_init) if z0 is None else jax.jit(self._solve_impl)(q_init, qd_init, z0)
+
+    def solve_batch(self, q_inits, qd_inits) -> LandingSolution:
+        """Solve a batch of scenarios via vmap (leading axis = scenario)."""
+        return self._solve_vmap(q_inits, qd_inits)

@@ -202,6 +202,25 @@ class LandingProblem:
             per_knot = 4 + 4 + 4 + 4 + 24 + 8 + 8 + 8 + 4 + 16 + 24
         return per_knot * (n - 1) + 24
 
+    def relax_mask(self) -> jnp.ndarray:
+        """Mask of degenerate complementarity rows (LCP + no-slip) for the
+        solver's mu-proportional relaxation homotopy (see solver.ip.solve)."""
+        import numpy as np
+
+        c = self.config
+        n = c.n_knots
+        if c.kinodynamic:
+            sizes = [4, 4, 4, 12, 12, 24, 4, 24, 16, 1, 24, 24]
+            marked = {2, 3, 4}  # lcp, ns_hi, ns_lo
+        else:
+            sizes = [4, 4, 4, 4, 12, 12, 24, 4, 16, 24]
+            marked = {3, 4, 5}  # lcp, ns_hi, ns_lo
+        row = np.concatenate(
+            [np.full(sz, 1.0 if i in marked else 0.0) for i, sz in enumerate(sizes)]
+        )
+        per_knot = np.tile(row, n - 1)
+        return jnp.asarray(np.concatenate([per_knot, np.zeros(24)]))
+
     def ineq(self, z: jnp.ndarray, theta: LandingParams) -> jnp.ndarray:
         v = self.unpack(z)
         n = self.config.n_knots

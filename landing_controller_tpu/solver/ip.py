@@ -1,0 +1,521 @@
+"""Primal-dual interior-point NLP solver — the TPU-native IPOPT/KNITRO
+replacement (SURVEY.md §2.5).
+
+Solves   min f(z)  s.t.  E(z) = 0,  g(z) >= 0
+via slacks (g(z) - s = 0, s > 0) and the log barrier, with:
+
+- exact Lagrangian Hessian (forward-over-reverse autodiff),
+- condensed symmetric KKT system solved by (batched) LU with one step of
+  iterative refinement (f32-friendly),
+- fraction-to-boundary rule + parallel backtracking line search on an
+  L1-penalty merit function (all candidates evaluated at once — no
+  data-dependent control flow, so the whole solve jits and vmaps),
+- monotone Fiacco-McCormick barrier schedule with superlinear decrease
+  (the branch-free subset of IPOPT's 'monotone' mu_strategy;
+  reference option block: quadruped_SRBM_NLP.m:253-292),
+- per-scenario convergence masks: converged scenarios freeze while the
+  batch keeps stepping (failed scenarios are masked, not fatal —
+  SURVEY.md §5 failure-detection requirement).
+
+Everything below is a pure function of (z0, theta); `solve` is wrapped in
+jit by callers and `solve_batch` vmaps it over scenario axes.  The KKT
+solve is pluggable: the dense path here is the correctness baseline; the
+stage-structured Riccati path (ops/) drops in behind the same interface.
+
+Tolerance contract (matches the reference bar, landing_optimization.m:326-329):
+``tol=1e-4`` on the scaled KKT error, ``constr_viol_tol=1e-3``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class IPConfig:
+    max_iter: int = 60
+    tol: float = 1e-4  # scaled KKT error (IPOPT 'tol')
+    constr_viol_tol: float = 1e-3
+    mu_init: float = 1e-1  # IPOPT 'mu_init' (reference value)
+    mu_min: float = 1e-6
+    kappa_mu: float = 0.2  # linear mu decrease factor
+    theta_mu: float = 1.5  # superlinear mu exponent
+    kappa_eps: float = 10.0  # barrier subproblem tolerance = kappa_eps * mu
+    tau_min: float = 0.99  # fraction-to-boundary
+    s_init_min: float = 1e-2  # slack floor at init (bound_push analogue)
+    delta_w: float = 1e-6  # primal (Hessian) regularization floor
+    delta_w_fail: float = 1e-2  # extra regularization when step is bad
+    delta_c: float = 1e-8  # dual regularization
+    n_linesearch: int = 12  # parallel backtracking ladder size
+    # filter line search constants (IPOPT defaults, Waechter-Biegler 2006)
+    gamma_theta: float = 1e-5
+    gamma_phi: float = 1e-5
+    delta_switch: float = 1.0
+    s_theta: float = 1.1
+    s_phi: float = 2.3
+    eta_phi: float = 1e-4  # Armijo constant for f-type steps
+    theta_max_fac: float = 1e4  # cap on constraint violation vs initial
+    filter_size: int = 32
+    kappa_sigma: float = 1e10  # multiplier safeguard lam in [mu/(k s), k mu/s]
+    hessian_mode: str = "gn"  # "gn": drop constraint curvature (PD by
+    # construction, robust); "exact": full Lagrangian Hessian (fast local
+    # convergence, needs inertia correction)
+    y_max: float = 1e5  # equality-multiplier magnitude cap
+    sigma_max: float = 1e8  # cap on lam/s entering the condensed Hessian
+    refine_steps: int = 1  # iterative refinement of the KKT solve
+    relax_scale: float = 0.0  # mu-proportional relaxation of marked rows
+    # (MPCC homotopy: g_eff = g + relax_scale*mu*mask; exact as mu -> floor)
+
+
+class IPResult(NamedTuple):
+    z: jnp.ndarray  # primal solution
+    s: jnp.ndarray  # slacks
+    lam: jnp.ndarray  # inequality multipliers (>= 0)
+    y: jnp.ndarray  # equality multipliers (sign: L = f + y'E - lam'(g-s))
+    converged: jnp.ndarray  # bool
+    iterations: jnp.ndarray  # int
+    kkt_error: jnp.ndarray  # final scaled KKT error
+    constr_viol: jnp.ndarray  # final max violation
+    cost: jnp.ndarray
+    # telemetry (fixed length max_iter):
+    kkt_history: jnp.ndarray
+    mu_history: jnp.ndarray
+    alpha_history: jnp.ndarray
+
+
+def _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, mu):
+    """Scaled KKT error, IPOPT-style s_d/s_c scaling."""
+    r_d = grad_f + Je.T @ y - Jg.T @ lam
+    m = s.shape[0] + y.shape[0]
+    s_d = jnp.maximum(100.0, (jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(y))) / m) / 100.0
+    s_c = jnp.maximum(100.0, jnp.sum(jnp.abs(lam)) / s.shape[0]) / 100.0
+    err_d = jnp.max(jnp.abs(r_d)) / s_d
+    err_e = jnp.max(jnp.abs(E))
+    err_g = jnp.max(jnp.abs(g - s))
+    err_c = jnp.max(jnp.abs(s * lam - mu)) / s_c
+    return jnp.maximum(jnp.maximum(err_d, err_e), jnp.maximum(err_g, err_c)), r_d
+
+
+def _merit(f, E, g, s, mu, rho):
+    """L1 exact-penalty barrier merit function."""
+    return f - mu * jnp.sum(jnp.log(s)) + rho * (jnp.sum(jnp.abs(E)) + jnp.sum(jnp.abs(g - s)))
+
+
+def _solve_kkt(H0, Je, rhs_z, rhs_y, delta_last, cfg):
+    """Inertia-corrected Schur-complement KKT solve.
+
+    Solves [[H0+dI, Je'],[Je, -delta_c I]] [dz; dy] = [rhs_z; rhs_y] where d
+    is the smallest value from a ladder {delta_w, delta_last, 10 delta_last,
+    1e3 delta_last} making H0+dI positive definite (Cholesky succeeds) — the
+    branch-free analogue of IPOPT's inertia-correction loop (all candidates
+    factorized in parallel; jit/vmap friendly).  Requiring full H > 0 (not
+    just reduced-space) is conservative but guarantees a descent direction
+    and a quasi-definite system solvable by two PD Cholesky factorizations —
+    much friendlier to f32/TPU than an indefinite LU.
+
+    Returns (dz, dy, delta_used).
+    """
+    n = rhs_z.shape[0]
+    dtype = H0.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    # Jacobi equilibration: solve (D H D)(D^-1 dz) = D rhs with
+    # D = diag(H)^(-1/2).  With a unit diagonal, f32 Cholesky stays
+    # trustworthy even when active-constraint rows dwarf the rest (the
+    # landing NLP spans ~8 orders of magnitude once slacks activate).
+    dH = jnp.sqrt(jnp.maximum(jnp.diagonal(H0), 1e-12))
+    dinv = 1.0 / dH
+    Hn = H0 * dinv[:, None] * dinv[None, :]
+    deltas = jnp.stack(
+        [
+            jnp.asarray(cfg.delta_w, dtype),
+            delta_last,
+            10.0 * delta_last,
+            1e3 * delta_last,
+        ]
+    )
+    Hs = Hn[None] + deltas[:, None, None] * eye[None]
+    Ls = jax.vmap(jnp.linalg.cholesky)(Hs)
+    ok = jax.vmap(lambda L: jnp.all(jnp.isfinite(L)))(Ls)
+    # first (smallest-delta) successful candidate; fall back to the largest
+    idx = jnp.where(jnp.any(ok), jnp.argmax(ok), deltas.shape[0] - 1)
+    L = Ls[idx]
+    delta_used = deltas[idx]
+    # guard: if even the largest failed, add a big emergency shift
+    need_emergency = ~jnp.any(ok)
+    L = jnp.where(
+        need_emergency,
+        jnp.linalg.cholesky(Hn + (1e3 * delta_last + 1e3) * eye),
+        L,
+    )
+    delta_used = jnp.where(need_emergency, 1e3 * delta_last + 1e3, delta_used)
+
+    def hsolve(b):
+        # un-equilibrated solve: (H + d*diag(H))^-1 b via the scaled factor
+        bn = b * dinv if b.ndim == 1 else b * dinv[:, None]
+        xn = jax.scipy.linalg.cho_solve((L, True), bn)
+        return xn * dinv if b.ndim == 1 else xn * dinv[:, None]
+
+    # Schur complement on the equality block (also equilibrated):
+    #   S dy = Je H^-1 rhs_z - rhs_y,   dz = H^-1 (rhs_z - Je' dy)
+    HiJt = hsolve(Je.T)  # (n, me)
+    delta_c = jnp.maximum(jnp.asarray(cfg.delta_c, dtype), 1e-6 * delta_used)
+    S = Je @ HiJt + delta_c * jnp.eye(Je.shape[0], dtype=dtype)
+    dS = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+    dSinv = 1.0 / dS
+    Sn = S * dSinv[:, None] * dSinv[None, :]
+    Ls_s = jnp.linalg.cholesky(Sn + 1e-7 * jnp.eye(S.shape[0], dtype=dtype))
+
+    def ssolve(b):
+        return jax.scipy.linalg.cho_solve((Ls_s, True), b * dSinv) * dSinv
+
+    rhs_s = Je @ hsolve(rhs_z) - rhs_y
+    dy = ssolve(rhs_s)
+    dz = hsolve(rhs_z - Je.T @ dy)
+    Hd = H0 + delta_used * (dH * dH)[None, :] * eye  # actual shifted matrix
+    for _ in range(cfg.refine_steps):
+        # one step of iterative refinement on the full KKT system
+        r_z = rhs_z - (Hd @ dz + Je.T @ dy)
+        r_y = rhs_y - (Je @ dz - delta_c * dy)
+        ddy = ssolve(Je @ hsolve(r_z) - r_y)
+        ddz = hsolve(r_z - Je.T @ ddy)
+        dz = dz + ddz
+        dy = dy + ddy
+    return dz, dy, delta_used
+
+
+def solve(
+    cost_fn: Callable,
+    eq_fn: Callable,
+    ineq_fn: Callable,
+    z0: jnp.ndarray,
+    config: IPConfig = IPConfig(),
+    y0: jnp.ndarray | None = None,
+    lam0: jnp.ndarray | None = None,
+    s0: jnp.ndarray | None = None,
+    relax_mask: jnp.ndarray | None = None,
+) -> IPResult:
+    """Solve one NLP instance.  cost/eq/ineq are closures over theta.
+
+    Warm start: pass (y0, lam0, s0) from a previous solve; primal warm start
+    is just z0 (the reference's warm-start flow saves/restores exactly these,
+    landing_optimization.m:395-403).
+
+    relax_mask marks degenerate (e.g. complementarity) inequality rows for
+    the mu-proportional relaxation homotopy: those rows are loosened by
+    ``relax_scale * (mu - mu_floor)`` so their multipliers stay bounded
+    during the early barrier stages (Scholtes-style MPCC regularization tied
+    to the barrier schedule); the relaxation vanishes as mu reaches its
+    floor, so converged iterates satisfy the original constraints.
+    """
+    cfg = config
+    dtype = z0.dtype
+    n = z0.shape[0]
+
+    base_ineq_fn = ineq_fn
+    if relax_mask is not None and cfg.relax_scale > 0.0:
+        _mask = jnp.asarray(relax_mask, dtype)
+        _mu_floor = jnp.asarray(cfg.mu_min, dtype)
+
+        def make_ineq(mu):
+            off = cfg.relax_scale * jnp.maximum(mu - _mu_floor, 0.0)
+            return lambda z: base_ineq_fn(z) + off * _mask
+    else:
+
+        def make_ineq(mu):
+            return base_ineq_fn
+
+    # TPU: f32 matmuls default to bf16 MXU passes - fatal for KKT solves.
+    # Trace everything below at full f32 precision (3-pass emulation).
+    import contextlib
+
+    _prec = jax.default_matmul_precision("highest")
+
+    grad_f_fn = jax.grad(cost_fn)
+    Je_fn = jax.jacfwd(eq_fn)
+    Jg_fn = jax.jacfwd(ineq_fn)
+
+    if config.hessian_mode == "exact":
+
+        def lagrangian(z, y, lam):
+            return cost_fn(z) + eq_fn(z) @ y - ineq_fn(z) @ lam
+
+        hess_fn = jax.jacfwd(jax.grad(lagrangian, argnums=0), argnums=0)
+    else:  # Gauss-Newton: objective curvature only -> H PD by construction
+
+        def hess_fn(z, y, lam):
+            return jax.jacfwd(jax.grad(cost_fn))(z)
+
+    g0 = ineq_fn(z0)
+    E0 = eq_fn(z0)
+    me, mi = E0.shape[0], g0.shape[0]
+
+    # barrier-consistent slack init: s solves s*(s - g) = mu, i.e. the
+    # positive root (g + sqrt(g^2 + 4 mu))/2 — keeps sigma = lam/s = mu/s^2
+    # bounded even at infeasible starts (vs. pinning s at a floor).
+    s_init = (
+        jnp.maximum((g0 + jnp.sqrt(g0 * g0 + 4.0 * cfg.mu_init)) / 2.0, cfg.s_init_min)
+        if s0 is None
+        else s0
+    )
+    lam_init = (
+        jnp.clip(cfg.mu_init / s_init, 1e-8, 1e3) if lam0 is None else lam0
+    )
+    y_init = jnp.zeros(me, dtype=dtype) if y0 is None else y0
+
+    class State(NamedTuple):
+        z: jnp.ndarray
+        s: jnp.ndarray
+        lam: jnp.ndarray
+        y: jnp.ndarray
+        mu: jnp.ndarray
+        delta: jnp.ndarray  # adaptive inertia-correction regularization
+        filt_theta: jnp.ndarray  # filter corners (constraint violation)
+        filt_phi: jnp.ndarray  # filter corners (barrier objective)
+        filt_ptr: jnp.ndarray  # next filter slot
+        it: jnp.ndarray
+        done: jnp.ndarray
+        kkt_hist: jnp.ndarray
+        mu_hist: jnp.ndarray
+        alpha_hist: jnp.ndarray
+
+    theta_0 = jnp.sum(jnp.abs(eq_fn(z0))) + jnp.sum(jnp.abs(ineq_fn(z0) - s_init))
+    theta_max = cfg.theta_max_fac * jnp.maximum(1.0, theta_0)
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    init = State(
+        z=z0,
+        s=s_init,
+        lam=lam_init,
+        y=y_init,
+        mu=jnp.asarray(cfg.mu_init, dtype),
+        delta=jnp.asarray(cfg.delta_w_fail, dtype),
+        filt_theta=jnp.full(cfg.filter_size, theta_max, dtype),
+        filt_phi=jnp.full(cfg.filter_size, -big, dtype),
+        filt_ptr=jnp.asarray(0, jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        kkt_hist=jnp.zeros(cfg.max_iter, dtype),
+        mu_hist=jnp.zeros(cfg.max_iter, dtype),
+        alpha_hist=jnp.zeros(cfg.max_iter, dtype),
+    )
+
+    def cond(st: State):
+        return (st.it < cfg.max_iter) & (~st.done)
+
+    def body(st: State):
+        z, s, lam, y, mu = st.z, st.s, st.lam, st.y, st.mu
+        ineq_mu = make_ineq(mu)
+
+        f = cost_fn(z)
+        E = eq_fn(z)
+        g = ineq_mu(z)
+        g_true = base_ineq_fn(z)
+        grad_f = grad_f_fn(z)
+        Je = Je_fn(z)
+        Jg = Jg_fn(z)
+
+        kkt_err, r_d = _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, mu)
+        viol = jnp.maximum(jnp.max(jnp.abs(E)), jnp.max(jnp.maximum(-g_true, 0.0)))
+        # overall convergence test at mu -> tol level, on the TRUE constraints
+        kkt_err0, _ = _kkt_error(grad_f, Je, Jg, E, g_true, s, lam, y, 0.0)
+        converged = (kkt_err0 <= cfg.tol) & (viol <= cfg.constr_viol_tol)
+
+        # ---- Newton step on the barrier KKT system (slack elimination)
+        sigma = jnp.minimum(lam / s, cfg.sigma_max)
+        W = hess_fn(z, y, lam)
+        H = W + Jg.T @ (sigma[:, None] * Jg)
+        r_g = g - s
+        rhs_z = -(r_d) + Jg.T @ (mu / s - lam - sigma * r_g)
+        rhs_y = -E
+        dz, dy, delta_used = _solve_kkt(H, Je, rhs_z, rhs_y, st.delta, cfg)
+        ds = Jg @ dz + r_g
+        dlam = mu / s - lam - sigma * ds
+
+        # ---- fraction-to-boundary
+        tau = jnp.maximum(cfg.tau_min, 1.0 - mu)
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            return jnp.minimum(1.0, tau * jnp.min(ratio))
+
+        alpha_s = max_step(s, ds)
+        alpha_lam = max_step(lam, dlam)
+
+        # ---- filter line search (Waechter-Biegler 2006, the IPOPT
+        # globalization the reference's tuned option block relies on).
+        # All ladder candidates are evaluated in parallel; acceptability is
+        # tested against the (fixed-size) filter, the current point, and the
+        # Armijo condition on f-type steps.
+        theta0 = jnp.sum(jnp.abs(E)) + jnp.sum(jnp.abs(g - s))
+        phi0 = f - mu * jnp.sum(jnp.log(s))
+        grad_phi_dz = grad_f @ dz - mu * jnp.sum(ds / s)
+
+        alphas = alpha_s * (0.5 ** jnp.arange(cfg.n_linesearch, dtype=dtype))
+
+        def eval_at(a):
+            z_t = z + a * dz
+            s_t = s + a * ds
+            E_t = eq_fn(z_t)
+            g_t = ineq_mu(z_t)
+            theta_t = jnp.sum(jnp.abs(E_t)) + jnp.sum(jnp.abs(g_t - s_t))
+            phi_t = cost_fn(z_t) - mu * jnp.sum(jnp.log(s_t))
+            return theta_t, phi_t
+
+        thetas, phis = jax.vmap(eval_at)(alphas)
+
+        # acceptability vs filter entries and vs the current point
+        f_th = jnp.concatenate([st.filt_theta, theta0[None]])
+        f_ph = jnp.concatenate([st.filt_phi, phi0[None]])
+        acc_mat = (thetas[:, None] <= (1.0 - cfg.gamma_theta) * f_th[None, :]) | (
+            phis[:, None] <= f_ph[None, :] - cfg.gamma_phi * f_th[None, :]
+        )
+        acc_filter = jnp.all(acc_mat, axis=1) & (thetas <= theta_max)
+
+        # switching condition: f-type iteration requires Armijo on phi
+        descent = grad_phi_dz < 0
+        switch = descent & (
+            alphas * (-grad_phi_dz) ** cfg.s_phi
+            > cfg.delta_switch * theta0**cfg.s_theta
+        )
+        armijo_ok = phis <= phi0 + cfg.eta_phi * alphas * grad_phi_dz
+        acceptable = acc_filter & jnp.where(switch, armijo_ok, True)
+
+        step_finite = (
+            jnp.all(jnp.isfinite(dz))
+            & jnp.all(jnp.isfinite(dy))
+            & jnp.all(jnp.isfinite(ds))
+            & jnp.all(jnp.isfinite(dlam))
+        )
+        acceptable = acceptable & step_finite & jnp.isfinite(thetas) & jnp.isfinite(phis)
+        any_ok = jnp.any(acceptable)
+        idx_ok = jnp.argmax(acceptable)  # largest acceptable alpha
+        # fallback (restoration surrogate): most feasibility-reducing candidate
+        idx_fb = jnp.argmin(jnp.where(jnp.isfinite(thetas), thetas, jnp.inf))
+        idx = jnp.where(any_ok, idx_ok, idx_fb)
+        alpha = jnp.where(step_finite, alphas[idx], 0.0)
+        # a theta-type acceptance augments the filter
+        theta_type = any_ok & ~(switch[idx] & armijo_ok[idx])
+        slot = st.filt_ptr % cfg.filter_size
+        filt_theta_new = jnp.where(
+            theta_type,
+            st.filt_theta.at[slot].set((1.0 - cfg.gamma_theta) * theta0),
+            st.filt_theta,
+        )
+        filt_phi_new = jnp.where(
+            theta_type,
+            st.filt_phi.at[slot].set(phi0 - cfg.gamma_phi * theta0),
+            st.filt_phi,
+        )
+        filt_ptr_new = st.filt_ptr + theta_type.astype(jnp.int32)
+
+        # carry the inertia-correction shift: decay after a good step, bump
+        # after a rejected one (next _solve_kkt ladder starts from this).
+        delta_new = jnp.where(
+            any_ok,
+            jnp.maximum(delta_used / 3.0, cfg.delta_w_fail * 1e-2),
+            jnp.minimum(jnp.maximum(delta_used, cfg.delta_w_fail) * 10.0, 1e6),
+        )
+
+        safe = lambda d: jnp.where(jnp.isfinite(d), d, 0.0)
+        dz, ds, dlam, dy = safe(dz), safe(ds), safe(dlam), safe(dy)
+        z_new = z + alpha * dz
+        s_new = s + alpha * ds
+        lam_new = jnp.clip(lam + alpha_lam * dlam, 1e-12, None)
+        # IPOPT kappa_Sigma safeguard: keep lam within a band of mu/s so
+        # sigma can never poison the condensed Hessian (IPOPT eq. (16)).
+        lam_new = jnp.clip(
+            lam_new, mu / (cfg.kappa_sigma * s_new), cfg.kappa_sigma * mu / s_new
+        )
+        # equality multipliers step with the bound-multiplier step size
+        # (IPOPT alpha_for_y='bound-mult', the reference's tuned choice,
+        # landing_optimization.m:342)
+        y_new = jnp.clip(y + alpha_lam * dy, -cfg.y_max, cfg.y_max)
+
+        # ---- barrier update: monotone with superlinear decrease
+        barrier_err, _ = _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, mu)
+        shrink = barrier_err <= cfg.kappa_eps * mu
+        mu_new = jnp.where(
+            shrink,
+            jnp.maximum(cfg.tol / 10.0, jnp.minimum(cfg.kappa_mu * mu, mu**cfg.theta_mu)),
+            mu,
+        )
+        mu_new = jnp.maximum(mu_new, cfg.mu_min)
+        # reset the filter whenever the barrier parameter changes (IPOPT does)
+        mu_changed = mu_new != mu
+        filt_theta_new = jnp.where(mu_changed, jnp.full_like(filt_theta_new, theta_max), filt_theta_new)
+        filt_phi_new = jnp.where(mu_changed, jnp.full_like(filt_phi_new, -big), filt_phi_new)
+        filt_ptr_new = jnp.where(mu_changed, 0, filt_ptr_new)
+
+        # freeze once converged
+        keep = st.done | converged
+        upd = lambda new, old: jnp.where(keep, old, new)
+        st_new = State(
+            z=upd(z_new, z),
+            s=upd(s_new, s),
+            lam=upd(lam_new, lam),
+            y=upd(y_new, y),
+            mu=upd(mu_new, mu),
+            delta=upd(delta_new, st.delta),
+            filt_theta=jnp.where(keep, st.filt_theta, filt_theta_new),
+            filt_phi=jnp.where(keep, st.filt_phi, filt_phi_new),
+            filt_ptr=jnp.where(keep, st.filt_ptr, filt_ptr_new),
+            it=st.it + 1,
+            done=keep,
+            kkt_hist=st.kkt_hist.at[st.it].set(kkt_err0),
+            mu_hist=st.mu_hist.at[st.it].set(mu),
+            alpha_hist=st.alpha_hist.at[st.it].set(jnp.where(keep, 0.0, alpha)),
+        )
+        return st_new
+
+    with _prec:
+        final = jax.lax.while_loop(cond, body, init)
+
+    # final diagnostics (same matmul precision as the loop, true constraints)
+    z, s, lam, y = final.z, final.s, final.lam, final.y
+    with _prec:
+        f = cost_fn(z)
+        E = eq_fn(z)
+        g = base_ineq_fn(z)
+        grad_f = grad_f_fn(z)
+        Je = Je_fn(z)
+        Jg = Jg_fn(z)
+        kkt_err0, _ = _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, 0.0)
+    viol = jnp.maximum(jnp.max(jnp.abs(E)), jnp.max(jnp.maximum(-g, 0.0)))
+    converged = (kkt_err0 <= cfg.tol) & (viol <= cfg.constr_viol_tol)
+    return IPResult(
+        z=z,
+        s=s,
+        lam=lam,
+        y=y,
+        converged=converged,
+        iterations=final.it,
+        kkt_error=kkt_err0,
+        constr_viol=viol,
+        cost=f,
+        kkt_history=final.kkt_hist,
+        mu_history=final.mu_hist,
+        alpha_history=final.alpha_hist,
+    )
+
+
+def solve_batch(cost_fn, eq_fn, ineq_fn, z0_batch, config: IPConfig = IPConfig(), theta_axes=None):
+    """vmap `solve` over a batch of initial points (and optionally thetas).
+
+    cost/eq/ineq here take (z, theta); z0_batch: (B, n); theta pytree with
+    leading batch axis per `theta_axes` (None = shared).
+    """
+
+    def one(z0, theta):
+        return solve(
+            partial(cost_fn, theta=theta),
+            partial(eq_fn, theta=theta),
+            partial(ineq_fn, theta=theta),
+            z0,
+            config,
+        )
+
+    return jax.vmap(one, in_axes=(0, theta_axes))
