@@ -23,10 +23,18 @@ import jax
 import jax.numpy as jnp
 
 from .models import get_robot_params
-from .problems.landing import LandingProblem, kinodynamic_problem, srbm_lcp_problem
+from .problems.landing import (
+    LandingProblem,
+    ccc_problem,
+    contact_scheduled_problem,
+    kinodynamic_problem,
+    srbm_lcp_problem,
+)
 from .solver import IPConfig, solve
 from .solver.scaling import landing_z_scale, scale_problem
 from .warmstart.reference import (
+    ccc_params,
+    contact_scheduled_params,
     initial_guess_from_reference,
     kinodynamic_params,
     srbm_lcp_params,
@@ -49,6 +57,8 @@ class LandingSolution(NamedTuple):
 _PROBLEMS = {
     "kinodynamic": (kinodynamic_problem, kinodynamic_params),
     "srbm_lcp": (srbm_lcp_problem, srbm_lcp_params),
+    "ccc": (ccc_problem, ccc_params),
+    "contact_scheduled": (contact_scheduled_problem, contact_scheduled_params),
 }
 
 
@@ -62,26 +72,31 @@ class LandingSolver:
         robot: str = "mc3D",
         config: IPConfig | None = None,
         dtype=jnp.float32,
+        theta_overrides: dict | None = None,
     ):
         if kind not in _PROBLEMS:
             raise KeyError(f"unknown problem kind '{kind}'; available: {sorted(_PROBLEMS)}")
         self.kind = kind
         self.robot = robot
         self.dtype = dtype
+        self.theta_overrides = dict(theta_overrides or {})
         self.robot_params = get_robot_params(robot)
         problem_fn, params_fn = _PROBLEMS[kind]
         self.problem: LandingProblem = problem_fn(self.robot_params, n_knots=n_knots)
         self._params_fn = params_fn
         if config is None:
-            # f32 defaults trade the last decade of mu for conditioning room
+            # f32 defaults trade the last decade of mu for conditioning room;
+            # the scheduled variant's redundant equality rows need a larger
+            # dual regularization
             config = IPConfig(
                 max_iter=250,
-                hessian_mode="gn",
+                hessian_mode="hybrid",
                 mu_min=1e-5 if dtype == jnp.float32 else 1e-6,
                 sigma_max=1e5 if dtype == jnp.float32 else 1e8,
                 tol=2e-4 if dtype == jnp.float32 else 1e-4,
                 refine_steps=2 if dtype == jnp.float32 else 1,
                 relax_scale=1.0,
+                delta_c=1e-6 if kind == "contact_scheduled" else 1e-8,
             )
         self.config = config
         self._z_scale = landing_z_scale(self.problem)
@@ -90,10 +105,19 @@ class LandingSolver:
 
     def build_params(self, q_init, qd_init):
         """Scenario -> runtime parameter pytree (no recompilation)."""
-        return self._params_fn(
+        theta = self._params_fn(
             jnp.asarray(q_init, self.dtype), jnp.asarray(qd_init, self.dtype),
             n_knots=self.problem.config.n_knots, robot=self.robot,
         )
+        if self.theta_overrides:
+            theta = dataclasses.replace(
+                theta,
+                **{
+                    k: jnp.asarray(v, self.dtype)
+                    for k, v in self.theta_overrides.items()
+                },
+            )
+        return theta
 
     def _solve_impl(self, q_init, qd_init, z0=None):
         prob = self.problem

@@ -12,6 +12,8 @@ from .landing import (
     LandingParams,
     LandingProblem,
     LandingVars,
+    ccc_problem,
+    contact_scheduled_problem,
     kinodynamic_problem,
     srbm_lcp_problem,
 )
@@ -23,4 +25,6 @@ __all__ = [
     "LandingVars",
     "kinodynamic_problem",
     "srbm_lcp_problem",
+    "ccc_problem",
+    "contact_scheduled_problem",
 ]

@@ -77,6 +77,12 @@ class LandingParams:
     mass: jnp.ndarray  # scalar
     ib: jnp.ndarray  # (3,) body inertia diagonal
     ib_inv: jnp.ndarray  # (3,)
+    # running-cost weights (contact-scheduled / CCC variants,
+    # quadruped_SRBM_NLP.m:82-91); None for terminal-cost-only problems
+    qx: jnp.ndarray | None = None  # (12,)
+    qc: jnp.ndarray | None = None  # (3,)
+    qf: jnp.ndarray | None = None  # (3,)
+    cs: jnp.ndarray | None = None  # (N-1, 4) contact schedule parameter
 
 
 @_register
@@ -113,6 +119,16 @@ class LandingConfig:
     hip_srbm_location: tuple = ((0.19, -0.1, 0.0), (0.19, 0.1, 0.0), (-0.19, -0.1, 0.0), (-0.19, 0.1, 0.0))
     side_sign: tuple = (-1.0, 1.0, -1.0, 1.0)
     tau_max: tuple = (18.0, 18.0, 28.0)
+    # variant switches
+    contact_scheduled: bool = False  # cs parameter, equality contacts
+    running_cost: bool = False  # QX/Qc/Qf running terms
+    terminal_box: bool = True  # terminal state box rows
+    init_foot_eq: bool = False  # c_0 == c_init equality
+    lcp_rows: bool = True  # complementarity rows (off for scheduled)
+    # cost p_hip nominal offsets (quadruped_SRBM_NLP.m:78-80)
+    p_hip_cost: tuple = (
+        (0.19, -0.1, -0.2), (0.19, 0.1, -0.2), (-0.19, -0.1, -0.2), (-0.19, 0.1, -0.2)
+    )
 
     @property
     def n_states(self) -> int:
@@ -139,7 +155,9 @@ class LandingProblem:
         self.robot_params = robot_params
         n = config.n_knots
         self.n_vars = 12 * n + config.n_joints * (n - 1) + 24 * (n - 1)
-        self.n_eq = (12 if not config.kinodynamic else 24) + 12 * (n - 1)
+        head = 12 + (12 if (config.kinodynamic or config.init_foot_eq) else 0)
+        contact_eq = (4 + 12) * (n - 1) if config.contact_scheduled else 0
+        self.n_eq = head + 12 * (n - 1) + contact_eq
         self.n_ineq = self._count_ineq()
 
     # ---------------------------------------------------------------- pack
@@ -165,18 +183,40 @@ class LandingProblem:
 
     # ---------------------------------------------------------------- cost
     def cost(self, z: jnp.ndarray, theta: LandingParams) -> jnp.ndarray:
-        """Terminal quadratic cost (landing_optimization.m:83-86)."""
+        """Terminal quadratic cost (landing_optimization.m:83-86), plus the
+        running QX/Qc/Qf terms for the scheduled/CCC variants
+        (quadruped_SRBM_NLP.m:82-91)."""
         v = self.unpack(z)
         err = v.X[-1] - theta.x_ref[-1]
-        return jnp.sum(theta.qn * err * err)
+        total = jnp.sum(theta.qn * err * err)
+        if self.config.running_cost:
+            p_hip = jnp.asarray(self.config.p_hip_cost, dtype=z.dtype).reshape(12)
+
+            def stage(x, u, x_ref, u_ref, dt_k):
+                x_err = x - x_ref
+                pf_err = jnp.tile(x[0:3], 4) + p_hip - u[:12]
+                f_err = u[12:] - u_ref[12:]
+                return (
+                    jnp.sum(theta.qx * x_err * x_err)
+                    + jnp.sum(jnp.tile(theta.qc, 4) * pf_err * pf_err)
+                    + jnp.sum(jnp.tile(theta.qf, 4) * f_err * f_err)
+                ) * dt_k
+
+            total = total + jnp.sum(
+                jax.vmap(stage)(v.X[:-1], v.U, theta.x_ref[:-1], theta.u_ref, theta.dt)
+            )
+        return total
 
     # ------------------------------------------------------------ equality
     def eq(self, z: jnp.ndarray, theta: LandingParams) -> jnp.ndarray:
-        """[x0 - x_init; (c0 - c_init); dynamics defects] = 0."""
+        """[x0 - x_init; (c0 - c_init); dynamics defects; (scheduled
+        contact equalities)] = 0."""
+        cfg = self.config
         v = self.unpack(z)
+        n = cfg.n_knots
         x_init = jnp.concatenate([theta.q_init, theta.qd_init])
         head = [v.X[0] - x_init]
-        if self.config.kinodynamic:
+        if cfg.kinodynamic or cfg.init_foot_eq:
             head.append(v.U[0, :12] - theta.c_init)
 
         def defect(x_k, x_kp1, u_k, dt_k):
@@ -184,7 +224,27 @@ class LandingProblem:
             return x_kp1 - x_k - xdot * dt_k
 
         defects = jax.vmap(defect)(v.X[:-1], v.X[1:], v.U, theta.dt)
-        return jnp.concatenate(head + [defects.reshape(-1)])
+        parts = head + [defects.reshape(-1)]
+        if cfg.contact_scheduled:
+            # cs_leg * c_z = 0 (foot pinned to ground while in contact) and
+            # cs_leg * (c_{k+1} - c_k) = 0 (no slip), quadruped_SRBM_NLP.m:158-163.
+            # The z no-slip row is linearly dependent on consecutive ground
+            # rows whenever both knots are in stance, which makes Je heavily
+            # rank-deficient (the reference leaves this to IPOPT's inertia
+            # machinery); we keep the z row only across liftoff transitions
+            # (cs_k=1, cs_{k+1}=0), which is the only case it adds information.
+            cz = v.U[:, 2:12:3]  # (N-1, 4)
+            ground = (theta.cs * cz).reshape(-1)
+            c_next = jnp.concatenate([v.U[1:, :12], v.U[-1:, :12]])
+            cs_next = jnp.concatenate([theta.cs[1:], theta.cs[-1:]])
+            ns_mask = (jnp.arange(n - 1) < (n - 2)).astype(z.dtype)[:, None]
+            dc = (c_next - v.U[:, :12]).reshape(n - 1, 4, 3)
+            weights = jnp.stack(
+                [theta.cs, theta.cs, theta.cs * (1.0 - cs_next)], axis=-1
+            ) * ns_mask[..., None]
+            noslip = (weights * dc).reshape(-1)
+            parts += [ground, noslip]
+        return jnp.concatenate(parts)
 
     def _xdot(self, x, u, theta):
         if self.config.rotation == "xyz":
@@ -196,11 +256,36 @@ class LandingProblem:
     def _count_ineq(self) -> int:
         c = self.config
         n = c.n_knots
-        if c.kinodynamic:
+        if c.contact_scheduled:
+            per_knot = 4 + 4 + 24 + 4 + 16 + 24
+        elif c.kinodynamic:
             per_knot = 4 + 4 + 4 + 24 + 8 + 8 + 8 + 4 + 24 + 16 + 1 + 24 + 24
         else:
             per_knot = 4 + 4 + 4 + 4 + 24 + 8 + 8 + 8 + 4 + 16 + 24
-        return per_knot * (n - 1) + 24
+        return per_knot * (n - 1) + (24 if c.terminal_box else 0)
+
+    def ineq_row_labels(self):
+        """Human-readable label per inequality row (diagnostics)."""
+        c = self.config
+        n = c.n_knots
+        if c.contact_scheduled:
+            groups = [("fz", 4), ("fz_sched", 4), ("kinbox", 24), ("leglen", 4),
+                      ("fric", 16), ("statebox", 24)]
+        elif c.kinodynamic:
+            groups = [("fz", 4), ("cz", 4), ("lcp", 4), ("ns_hi", 12), ("ns_lo", 12),
+                      ("kinbox", 24), ("leglen", 4), ("torque", 24), ("fric", 16),
+                      ("z_bound", 1), ("fk_band", 24), ("jlim", 24)]
+        else:
+            groups = [("fz", 4), ("fmax", 4), ("cz", 4), ("lcp", 4), ("ns_hi", 12),
+                      ("ns_lo", 12), ("kinbox", 24), ("leglen", 4), ("fric", 16),
+                      ("statebox", 24)]
+        labels = []
+        for k in range(n - 1):
+            for name, sz in groups:
+                labels += [f"k{k}:{name}[{i}]" for i in range(sz)]
+        if c.terminal_box:
+            labels += [f"terminal[{i}]" for i in range(24)]
+        return labels
 
     def relax_mask(self) -> jnp.ndarray:
         """Mask of degenerate complementarity rows (LCP + no-slip) for the
@@ -209,9 +294,12 @@ class LandingProblem:
 
         c = self.config
         n = c.n_knots
-        if c.kinodynamic:
+        if c.contact_scheduled:
+            sizes = [4, 4, 24, 4, 16, 24]
+            marked = set()
+        elif c.kinodynamic:
             sizes = [4, 4, 4, 12, 12, 24, 4, 24, 16, 1, 24, 24]
-            marked = {2, 3, 4}  # lcp, ns_hi, ns_lo
+            marked = {2, 3, 4, 10}  # lcp, ns_hi, ns_lo, fk_band
         else:
             sizes = [4, 4, 4, 4, 12, 12, 24, 4, 16, 24]
             marked = {3, 4, 5}  # lcp, ns_hi, ns_lo
@@ -219,7 +307,8 @@ class LandingProblem:
             [np.full(sz, 1.0 if i in marked else 0.0) for i, sz in enumerate(sizes)]
         )
         per_knot = np.tile(row, n - 1)
-        return jnp.asarray(np.concatenate([per_knot, np.zeros(24)]))
+        tail = np.zeros(24) if c.terminal_box else np.zeros(0)
+        return jnp.asarray(np.concatenate([per_knot, tail]))
 
     def ineq(self, z: jnp.ndarray, theta: LandingParams) -> jnp.ndarray:
         v = self.unpack(z)
@@ -230,14 +319,19 @@ class LandingProblem:
         ns_mask = ns_mask.astype(z.dtype)
         c_next = jnp.concatenate([v.U[1:, :12], v.U[-1:, :12]])  # last row unused
 
-        if self.config.kinodynamic:
+        if self.config.contact_scheduled:
+            knot_fn = partial(self._knot_ineq_scheduled, theta=theta)
+            rows = jax.vmap(knot_fn)(v.X[:-1], v.U, theta.cs)
+        elif self.config.kinodynamic:
             knot_fn = partial(self._knot_ineq_kino, theta=theta)
             rows = jax.vmap(knot_fn)(v.X[:-1], v.U, v.jpos, c_next, ns_mask)
         else:
             knot_fn = partial(self._knot_ineq_srbm, theta=theta)
             rows = jax.vmap(knot_fn)(v.X[:-1], v.U, c_next, ns_mask)
-        term = self._terminal_ineq(v.X[-1], theta)
-        return jnp.concatenate([rows.reshape(-1), term])
+        if self.config.terminal_box:
+            term = self._terminal_ineq(v.X[-1], theta)
+            return jnp.concatenate([rows.reshape(-1), term])
+        return rows.reshape(-1)
 
     def _terminal_ineq(self, x_n, theta):
         """Terminal state box (landing_optimization.m:94-97)."""
@@ -324,6 +418,33 @@ class LandingProblem:
             [fz, cz, lcp, ns_hi, ns_lo, box, leg_len, torque, fric, z_bound, fk_band, jl]
         )
 
+    # --- contact-scheduled knot (quadruped_SRBM_NLP.m:120-186) -------------
+    def _knot_ineq_scheduled(self, x_k, u_k, cs_k, theta):
+        cfg = self.config
+        rpy = x_k[3:6]
+        R_b2w = rpy_to_rot_zyx(rpy)
+        f = u_k[12:].reshape(4, 3)
+        fz = f[:, 2]
+        fz_sched = cs_k * theta.f_max - fz  # flight legs carry no force
+        p_rel = self._p_rel(x_k, u_k, R_b2w)
+        box = jnp.concatenate(
+            [
+                cfg.srbm_kin_box_x - p_rel[:, 0],
+                p_rel[:, 0] + cfg.srbm_kin_box_x,
+                cfg.srbm_kin_box_y - p_rel[:, 1],
+                p_rel[:, 1] + cfg.srbm_kin_box_y,
+                -(p_rel[:, 2] + cfg.srbm_kin_box_z_offset),
+                (p_rel[:, 2] + cfg.srbm_kin_box_z_offset) + cfg.srbm_kin_box_z,
+            ]
+        )
+        leg_len = theta.l_leg_max**2 - jnp.sum(p_rel * p_rel, axis=1)
+        fric = self._friction(u_k, theta)
+        q, qd = x_k[:6], x_k[6:]
+        state_box = jnp.concatenate(
+            [q - theta.q_min, theta.q_max - q, qd - theta.qd_min, theta.qd_max - qd]
+        )
+        return jnp.concatenate([fz, fz_sched, box, leg_len, fric, state_box])
+
     # --- srbm knot ---------------------------------------------------------
     def _knot_ineq_srbm(self, x_k, u_k, c_next, ns_mask, theta):
         cfg = self.config
@@ -381,4 +502,40 @@ def kinodynamic_problem(robot_params, n_knots: int = 21) -> LandingProblem:
 def srbm_lcp_problem(robot_params, n_knots: int = 21) -> LandingProblem:
     """The SRBM-LCP warm-start NLP (generate_landingCtrller_IPOPT_warmstart.m)."""
     cfg = LandingConfig(n_knots=n_knots, kinodynamic=False, rotation="zyx", noslip_eps=1e-2)
+    return LandingProblem(cfg, robot_params)
+
+
+def ccc_problem(robot_params, n_knots: int = 41) -> LandingProblem:
+    """Contact-implicit CCC envelope NLP, N=41, T=0.6
+    (generate_solver/generate_quadruped_SRBM_CCC.m:28-186): srbm_lcp family
+    with the tighter 0.05/0.05/0.27 kinematic box and a running GRF cost."""
+    cfg = LandingConfig(
+        n_knots=n_knots,
+        kinodynamic=False,
+        rotation="zyx",
+        noslip_eps=1e-2,
+        srbm_kin_box_x=0.05,
+        srbm_kin_box_y=0.05,
+        srbm_kin_box_z=0.27,
+        running_cost=True,
+    )
+    return LandingProblem(cfg, robot_params)
+
+
+def contact_scheduled_problem(robot_params, n_knots: int = 16) -> LandingProblem:
+    """Contact-scheduled NLP, N=16, T=0.5 (quadruped_SRBM_NLP.m:29-186):
+    contact schedule cs as a parameter, equality ground/no-slip contacts,
+    running + terminal cost, no terminal box."""
+    cfg = LandingConfig(
+        n_knots=n_knots,
+        kinodynamic=False,
+        rotation="zyx",
+        contact_scheduled=True,
+        running_cost=True,
+        terminal_box=False,
+        lcp_rows=False,
+        srbm_kin_box_x=0.05,
+        srbm_kin_box_y=0.05,
+        srbm_kin_box_z=0.27,
+    )
     return LandingProblem(cfg, robot_params)

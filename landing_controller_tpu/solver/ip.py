@@ -62,14 +62,23 @@ class IPConfig:
     theta_max_fac: float = 1e4  # cap on constraint violation vs initial
     filter_size: int = 32
     kappa_sigma: float = 1e10  # multiplier safeguard lam in [mu/(k s), k mu/s]
-    hessian_mode: str = "gn"  # "gn": drop constraint curvature (PD by
+    hessian_mode: str = "hybrid"  # "gn": drop constraint curvature (PD by
     # construction, robust); "exact": full Lagrangian Hessian (fast local
-    # convergence, needs inertia correction)
+    # convergence, needs inertia correction); "hybrid": GN while far from
+    # feasibility, exact in the endgame (best of both)
+    hybrid_viol_switch: float = 1e-3  # hybrid: exact Hessian below this viol
+    hybrid_kkt_switch: float = 1.0  # ... and below this scaled KKT error
+    hybrid_mu_switch: float = 2e-3  # ... and below this barrier parameter
     y_max: float = 1e5  # equality-multiplier magnitude cap
     sigma_max: float = 1e8  # cap on lam/s entering the condensed Hessian
     refine_steps: int = 1  # iterative refinement of the KKT solve
     relax_scale: float = 0.0  # mu-proportional relaxation of marked rows
     # (MPCC homotopy: g_eff = g + relax_scale*mu*mask; exact as mu -> floor)
+    bound_relax_factor: float = 1e-6  # constant relaxation of ALL inequality
+    # rows (IPOPT bound_relax_factor, the reference's tuned value,
+    # landing_optimization.m:333): restores a strict interior for pinched
+    # bound pairs (e.g. scheduled flight legs with 0 <= fz <= 0), keeping
+    # their multipliers bounded
 
 
 class IPResult(NamedTuple):
@@ -124,10 +133,19 @@ def _solve_kkt(H0, Je, rhs_z, rhs_y, delta_last, cfg):
     dtype = H0.dtype
     eye = jnp.eye(n, dtype=dtype)
     # Jacobi equilibration: solve (D H D)(D^-1 dz) = D rhs with
-    # D = diag(H)^(-1/2).  With a unit diagonal, f32 Cholesky stays
-    # trustworthy even when active-constraint rows dwarf the rest (the
-    # landing NLP spans ~8 orders of magnitude once slacks activate).
-    dH = jnp.sqrt(jnp.maximum(jnp.diagonal(H0), 1e-12))
+    # D = (diag(H) + base)^(-1/2), base = mean diagonal.  The absolute term
+    # matters: Gauss-Newton cost curvature touches few variables, so bare
+    # diag(H) can be ~0 (e.g. interior joint angles), and both the scaling
+    # and the *relative* delta-shift would vanish exactly where
+    # regularization is needed.  With the mixed base, the normalized matrix
+    # has diag <= 1 and the ladder shift delta*I corresponds to
+    # delta*(diag(H) + base) unnormalized — relative + absolute in one.
+    diag0 = jnp.diagonal(H0)
+    # fractional absolute floor: big enough to bound the scaling of
+    # zero-curvature variables (and give them delta-regularization), small
+    # enough not to wash out the relative scaling of active rows in f32
+    base = 1e-2 * jnp.mean(diag0) + jnp.asarray(1e-12, dtype)
+    dH = jnp.sqrt(diag0 + base)
     dinv = 1.0 / dH
     Hn = H0 * dinv[:, None] * dinv[None, :]
     deltas = jnp.stack(
@@ -216,7 +234,12 @@ def solve(
     dtype = z0.dtype
     n = z0.shape[0]
 
-    base_ineq_fn = ineq_fn
+    raw_ineq_fn = ineq_fn
+    br = cfg.bound_relax_factor
+
+    def base_ineq_fn(z):
+        return raw_ineq_fn(z) + br
+
     if relax_mask is not None and cfg.relax_scale > 0.0:
         _mask = jnp.asarray(relax_mask, dtype)
         _mu_floor = jnp.asarray(cfg.mu_min, dtype)
@@ -239,16 +262,26 @@ def solve(
     Je_fn = jax.jacfwd(eq_fn)
     Jg_fn = jax.jacfwd(ineq_fn)
 
+    def lagrangian(z, y, lam):
+        return cost_fn(z) + eq_fn(z) @ y - ineq_fn(z) @ lam
+
+    hess_exact_fn = jax.jacfwd(jax.grad(lagrangian, argnums=0), argnums=0)
+    hess_gn_fn = jax.jacfwd(jax.grad(cost_fn))
+
     if config.hessian_mode == "exact":
 
-        def lagrangian(z, y, lam):
-            return cost_fn(z) + eq_fn(z) @ y - ineq_fn(z) @ lam
+        def hess_fn(z, y, lam, use_exact):
+            return hess_exact_fn(z, y, lam)
 
-        hess_fn = jax.jacfwd(jax.grad(lagrangian, argnums=0), argnums=0)
-    else:  # Gauss-Newton: objective curvature only -> H PD by construction
+    elif config.hessian_mode == "gn":
 
-        def hess_fn(z, y, lam):
-            return jax.jacfwd(jax.grad(cost_fn))(z)
+        def hess_fn(z, y, lam, use_exact):
+            return hess_gn_fn(z)
+
+    else:  # hybrid: GN globally, exact Lagrangian curvature in the endgame
+
+        def hess_fn(z, y, lam, use_exact):
+            return jnp.where(use_exact, hess_exact_fn(z, y, lam), hess_gn_fn(z))
 
     g0 = ineq_fn(z0)
     E0 = eq_fn(z0)
@@ -265,7 +298,21 @@ def solve(
     lam_init = (
         jnp.clip(cfg.mu_init / s_init, 1e-8, 1e3) if lam0 is None else lam0
     )
-    y_init = jnp.zeros(me, dtype=dtype) if y0 is None else y0
+    if y0 is None:
+        # least-squares equality-dual initialization (IPOPT's
+        # least-square-primal-dual init): y = argmin ||grad_f - Jg'lam + Je'y||
+        # — prevents the first iterations from wandering off a warm start
+        # while the duals catch up.
+        _gf0 = grad_f_fn(z0)
+        _Je0 = Je_fn(z0)
+        _Jg0 = Jg_fn(z0)
+        _r = _gf0 - _Jg0.T @ lam_init
+        _G = _Je0 @ _Je0.T + 1e-8 * jnp.eye(me, dtype=dtype)
+        y_init = -jnp.linalg.solve(_G, _Je0 @ _r)
+        y_init = jnp.clip(y_init, -cfg.y_max, cfg.y_max)
+        y_init = jnp.where(jnp.isfinite(y_init), y_init, 0.0)
+    else:
+        y_init = y0
 
     class State(NamedTuple):
         z: jnp.ndarray
@@ -326,7 +373,12 @@ def solve(
 
         # ---- Newton step on the barrier KKT system (slack elimination)
         sigma = jnp.minimum(lam / s, cfg.sigma_max)
-        W = hess_fn(z, y, lam)
+        use_exact = (
+            (viol < cfg.hybrid_viol_switch)
+            & (kkt_err0 < cfg.hybrid_kkt_switch)
+            & (mu <= cfg.hybrid_mu_switch)
+        )
+        W = hess_fn(z, y, lam, use_exact)
         H = W + Jg.T @ (sigma[:, None] * Jg)
         r_g = g - s
         rhs_z = -(r_d) + Jg.T @ (mu / s - lam - sigma * r_g)

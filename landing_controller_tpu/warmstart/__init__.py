@@ -1,15 +1,21 @@
 """Warm-start layer: reference trajectories, scenario sampling, cascade."""
 
 from .reference import (
+    ccc_params,
+    contact_scheduled_params,
+    default_contact_schedule,
+    initial_guess_from_reference,
     kinodynamic_params,
     sample_drop_scenario,
     srbm_lcp_params,
-    initial_guess_from_reference,
 )
 
 __all__ = [
     "kinodynamic_params",
     "srbm_lcp_params",
     "sample_drop_scenario",
+    "ccc_params",
+    "contact_scheduled_params",
+    "default_contact_schedule",
     "initial_guess_from_reference",
 ]

@@ -1,0 +1,71 @@
+"""Warm-start cascade: SRBM-LCP solve -> IK -> kinodynamic solve.
+
+The reference's production flow (landing_optimization.m:300-322 and the
+training-data factory, generate_training_data_automated.m:121-176) solves
+the cheap SRBM-LCP problem first (compiled IPOPT artifact), then seeds the
+kinodynamic KNITRO solve with its (X, U).  Here both stages are our IP
+solver and the whole cascade is one jitted function; joint angles are
+seeded by closed-form IK on the stage-1 foot positions (the reference
+leaves jpos at its default initial value — IK is strictly better).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..dynamics.legs import inverse_kinematics
+from ..problems.landing import LandingVars
+
+
+def kinodynamic_guess_from_srbm(kino_problem, robot_params, X, U, jpos_clip=None):
+    """Build the kinodynamic initial guess from a stage-1 (SRBM) solution.
+
+    X: (N,12), U: (N-1,24).  jpos via closed-form IK (XYZ convention, the
+    production FK convention) from the stage-1 foot positions, clipped into
+    the joint-limit box.
+    """
+
+    def ik_knot(x, u):
+        return inverse_kinematics(robot_params, x[:6], u[:12], convention="xyz")
+
+    jpos = jax.vmap(ik_knot)(X[:-1], U)
+    if jpos_clip is not None:
+        jpos = jnp.clip(jpos, jpos_clip[0], jpos_clip[1])
+    # Re-derive foot positions from the (clipped) joint angles so the guess
+    # starts FK-consistent (the +-1 cm fk_band rows are equality-like; a
+    # reachability gap there is much harder for the solver to close than the
+    # soft contact-height/kin-box rows this may slightly perturb).
+    from ..dynamics.legs import foot_positions_world
+
+    def fk_knot(x, jp):
+        return foot_positions_world(robot_params, x[:6], jp).reshape(12)
+
+    c_fk = jax.vmap(fk_knot)(X[:-1], jpos)
+    U = jnp.concatenate([c_fk, U[:, 12:]], axis=1)
+    return kino_problem.pack(LandingVars(X=X, jpos=jpos, U=U))
+
+
+def make_cascade(srbm_solver, kino_solver):
+    """Compose two LandingSolvers into one jitted cascade solve.
+
+    Returns ``fn(q_init, qd_init) -> (kino_solution, srbm_solution)``.
+    """
+    jl = (
+        kino_solver.build_params(
+            jnp.zeros(6, srbm_solver.dtype), jnp.zeros(6, srbm_solver.dtype)
+        ).jpos_min,
+        kino_solver.build_params(
+            jnp.zeros(6, srbm_solver.dtype), jnp.zeros(6, srbm_solver.dtype)
+        ).jpos_max,
+    )
+
+    def cascade(q_init, qd_init):
+        sol1 = srbm_solver._solve_impl(q_init, qd_init)
+        z0 = kinodynamic_guess_from_srbm(
+            kino_solver.problem, kino_solver.robot_params, sol1.X, sol1.U, jl
+        )
+        sol2 = kino_solver._solve_impl(q_init, qd_init, z0=z0)
+        return sol2, sol1
+
+    return jax.jit(cascade)

@@ -161,6 +161,97 @@ def srbm_lcp_params(q_init, qd_init, n_knots: int = 21, horizon: float = 0.6, ro
     )
 
 
+def ccc_params(q_init, qd_init, n_knots: int = 41, horizon: float = 0.6, robot: str = "mc3D"):
+    """Contact-implicit CCC envelope NLP parameters
+    (generate_solver/generate_quadruped_SRBM_CCC.m:192-223)."""
+    import dataclasses
+
+    dtype = q_init.dtype
+    base = srbm_lcp_params(q_init, qd_init, n_knots=n_knots, horizon=horizon, robot=robot)
+    n = n_knots
+    q_term_ref = jnp.asarray([0, 0, 0.2, 0, 0, 0], dtype)
+    x_ref = _linspace_refs(q_init, qd_init, q_term_ref, jnp.zeros(6, dtype), n)
+    c_ref = jnp.asarray((FOOT_SIGN * np.array([0.2, 0.1, -0.2])).reshape(12), dtype)
+    c_knots = jnp.tile(x_ref[:-1, 0:3], (1, 4)) + c_ref[None, :]
+    u_ref = jnp.concatenate([c_knots, jnp.zeros((n - 1, 12), dtype)], axis=1)
+    # feet start on the ground: offset [0.2, 0.1, -z0] from the CoM per leg
+    # (generate_quadruped_SRBM_CCC.m:209-210) puts c_init_z at exactly 0
+    xy = jnp.tile(q_init[0:3], 4) + jnp.asarray(
+        (FOOT_SIGN * np.array([0.2, 0.1, 0.0])).reshape(12), dtype
+    )
+    c_init = xy.at[2::3].set(0.0)
+    return dataclasses.replace(
+        base,
+        x_ref=x_ref,
+        u_ref=u_ref,
+        c_init=c_init,
+        q_min=jnp.asarray([-10, -10, 0.15, -10, -10, -10], dtype),
+        qn=jnp.asarray([0, 0, 100, 100, 100, 0, 10, 10, 10, 10, 10, 10], dtype),
+        mu=jnp.asarray(1.0, dtype),
+        l_leg_max=jnp.asarray(0.35, dtype),
+        f_max=jnp.asarray(250.0, dtype),
+        qx=jnp.zeros(12, dtype),
+        qc=jnp.zeros(3, dtype),
+        qf=jnp.asarray([1e-4, 1e-4, 1e-3], dtype),
+    )
+
+
+def default_contact_schedule(n_knots: int = 16, dtype=jnp.float32):
+    """The reference's default landing schedule: 2 flight knots then full
+    stance (quadruped_SRBM_NLP.m:33)."""
+    cs = np.ones((n_knots - 1, 4))
+    cs[:2] = 0.0
+    return jnp.asarray(cs, dtype)
+
+
+def contact_scheduled_params(q_init, qd_init, n_knots: int = 16, horizon: float = 0.5, robot: str = "mc3D"):
+    """Contact-scheduled NLP parameters (quadruped_SRBM_NLP.m:186-247)."""
+    import dataclasses
+
+    dtype = q_init.dtype
+    mass, ib, ib_inv = srbm_constants(robot)
+    n = n_knots
+    dt = jnp.full(n - 1, horizon / (n - 1), dtype)
+    q_term_ref = jnp.asarray([0, 0, 0.2, 0, 0, 0], dtype)
+    x_ref = _linspace_refs(q_init, qd_init, q_term_ref, jnp.zeros(6, dtype), n)
+    c_ref = jnp.asarray((FOOT_SIGN * np.array([0.2, 0.1, -0.2])).reshape(12), dtype)
+    c_knots = jnp.tile(x_ref[:-1, 0:3], (1, 4)) + c_ref[None, :]
+    u_ref = jnp.concatenate([c_knots, jnp.zeros((n - 1, 12), dtype)], axis=1)
+    c_init = jnp.tile(q_init[0:3], 4) + jnp.asarray(
+        (FOOT_SIGN * np.array([0.2, 0.1, 0.0])).reshape(12), dtype
+    )
+    return LandingParams(
+        x_ref=x_ref,
+        u_ref=u_ref,
+        dt=dt,
+        q_init=q_init,
+        qd_init=qd_init,
+        c_init=c_init,
+        q_min=jnp.asarray([-10, -10, 0.0, -10, -10, -10], dtype),
+        q_max=jnp.asarray([10, 10, 0.4, 10, 10, 10], dtype),
+        qd_min=jnp.asarray([-10, -10, -10, -40, -40, -40], dtype),
+        qd_max=jnp.asarray([10, 10, 10, 40, 40, 40], dtype),
+        q_term_min=jnp.asarray([-10, -10, 0.15, -0.1, -0.1, -10], dtype),
+        q_term_max=jnp.asarray([10, 10, 5, 0.1, 0.1, 10], dtype),
+        qd_term_min=jnp.asarray([-10, -10, -10, -40, -40, -40], dtype),
+        qd_term_max=jnp.asarray([10, 10, 10, 40, 40, 40], dtype),
+        qn=jnp.asarray([0, 0, 100, 10, 10, 100, 10, 10, 10, 10, 10, 10], dtype),
+        jpos_min=jnp.asarray(np.tile([-np.pi / 3, -np.pi / 2, 0.0], 4), dtype),
+        jpos_max=jnp.asarray(np.tile([np.pi / 3, np.pi / 2, 3 * np.pi / 4], 4), dtype),
+        kin_box=jnp.zeros(2, dtype),
+        mu=jnp.asarray(1.0, dtype),
+        l_leg_max=jnp.asarray(0.3, dtype),
+        f_max=jnp.asarray(200.0, dtype),
+        mass=jnp.asarray(mass, dtype),
+        ib=jnp.asarray(ib, dtype),
+        ib_inv=jnp.asarray(ib_inv, dtype),
+        qx=jnp.full(12, 10.0, dtype),
+        qc=jnp.zeros(3, dtype),
+        qf=jnp.asarray([1e-4, 1e-4, 1e-3], dtype),
+        cs=default_contact_schedule(n_knots, dtype),
+    )
+
+
 def sample_drop_scenario(key, dtype=jnp.float32):
     """Random drop condition + hip-clearance initial height.
 

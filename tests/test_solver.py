@@ -87,8 +87,11 @@ def test_srbm_lcp_landing_converges():
         z0,
         z_scale=landing_z_scale(prob),
     )
+    cfg = IPConfig(max_iter=250, hessian_mode="hybrid", relax_scale=1.0)
     res = jax.jit(
-        lambda z: solve(snlp.cost, snlp.eq, snlp.ineq, z, IPConfig(max_iter=220, hessian_mode="gn"))
+        lambda z: solve(
+            snlp.cost, snlp.eq, snlp.ineq, z, cfg, relax_mask=prob.relax_mask()
+        )
     )(snlp.to_scaled(z0))
     assert bool(res.converged), (float(res.kkt_error), float(res.constr_viol))
     z = snlp.from_scaled(res.z)
