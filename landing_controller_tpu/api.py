@@ -73,6 +73,7 @@ class LandingSolver:
         config: IPConfig | None = None,
         dtype=jnp.float32,
         theta_overrides: dict | None = None,
+        structured: bool = True,
     ):
         if kind not in _PROBLEMS:
             raise KeyError(f"unknown problem kind '{kind}'; available: {sorted(_PROBLEMS)}")
@@ -80,6 +81,7 @@ class LandingSolver:
         self.robot = robot
         self.dtype = dtype
         self.theta_overrides = dict(theta_overrides or {})
+        self.structured = structured and kind != "contact_scheduled"
         self.robot_params = get_robot_params(robot)
         problem_fn, params_fn = _PROBLEMS[kind]
         self.problem: LandingProblem = problem_fn(self.robot_params, n_knots=n_knots)
@@ -94,9 +96,15 @@ class LandingSolver:
                 mu_min=1e-5 if dtype == jnp.float32 else 1e-6,
                 sigma_max=1e5 if dtype == jnp.float32 else 1e8,
                 tol=2e-4 if dtype == jnp.float32 else 1e-4,
-                refine_steps=2 if dtype == jnp.float32 else 1,
                 relax_scale=1.0,
-                delta_c=1e-6 if kind == "contact_scheduled" else 1e-8,
+                # the structured sweep needs the larger dual regularization
+                # (+refinement) for f32 stability; scheduled needs it for its
+                # redundant equality rows
+                delta_c=1e-6 if (self.structured or kind == "contact_scheduled") else 1e-8,
+                refine_steps=(
+                    3 if (self.structured and dtype == jnp.float32)
+                    else (2 if dtype == jnp.float32 else 1)
+                ),
             )
         self.config = config
         self._z_scale = landing_z_scale(self.problem)
@@ -132,6 +140,11 @@ class LandingSolver:
             z0,
             z_scale=self._z_scale.astype(self.dtype),
         )
+        step_fn = None
+        if self.structured:
+            from .solver.structured import make_structured_newton_step
+
+            step_fn = make_structured_newton_step(prob, theta, self.config, snlp)
         res = solve(
             snlp.cost,
             snlp.eq,
@@ -139,6 +152,7 @@ class LandingSolver:
             snlp.to_scaled(z0),
             self.config,
             relax_mask=self.problem.relax_mask().astype(self.dtype),
+            newton_step_fn=step_fn,
         )
         z = snlp.from_scaled(res.z)
         v = prob.unpack(z)

@@ -1,0 +1,54 @@
+"""Batched training-data factory for the learned warm start.
+
+The reference generates samples one at a time through a three-stage native
+solve cascade with a human accept/reject gate
+(generate_training_data_automated.m:36-221).  Here the whole factory is a
+vmapped cascade over a batch of sampled drop conditions; the convergence
+mask replaces the human gate (failed scenarios are dropped, not fatal).
+
+Input per sample: the 9-D initial condition [rpy, omega, v]
+(generate_training_data_automated.m:208-213); output: the kinodynamic
+solution (X, U, jpos) = 972 numbers, plus touchdown indices after
+normalization (976 total).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..warmstart.reference import sample_drop_scenario
+
+
+def generate_training_data(cascade_fn, n_samples: int, key=None, batch_size: int = 32):
+    """Run the cascade over sampled scenarios and collect accepted solutions.
+
+    cascade_fn: jitted (q_init, qd_init) -> (kino_solution, srbm_solution)
+    (see warmstart.cascade.make_cascade).  Returns a dict of numpy arrays
+    with only the converged samples:
+    {"inputs" (M,9), "X" (M,N,12), "U" (M,N-1,24), "jpos" (M,N-1,12)}.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    batched_cascade = jax.jit(jax.vmap(cascade_fn))
+
+    inputs, Xs, Us, jposs = [], [], [], []
+    n_done = 0
+    while n_done < n_samples:
+        b = min(batch_size, n_samples - n_done)
+        keys = jax.random.split(jax.random.fold_in(key, n_done), b)
+        q0s, qd0s = jax.vmap(sample_drop_scenario)(keys)
+        sol2, _ = batched_cascade(q0s, qd0s)
+        ok = np.asarray(sol2.converged)
+        inputs.append(np.concatenate([np.asarray(q0s)[ok, 3:6], np.asarray(qd0s)[ok]], axis=1))
+        Xs.append(np.asarray(sol2.X)[ok])
+        Us.append(np.asarray(sol2.U)[ok])
+        jposs.append(np.asarray(sol2.jpos)[ok])
+        n_done += b
+    return {
+        "inputs": np.concatenate(inputs),
+        "X": np.concatenate(Xs),
+        "U": np.concatenate(Us),
+        "jpos": np.concatenate(jposs),
+    }

@@ -97,9 +97,8 @@ class IPResult(NamedTuple):
     alpha_history: jnp.ndarray
 
 
-def _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, mu):
-    """Scaled KKT error, IPOPT-style s_d/s_c scaling."""
-    r_d = grad_f + Je.T @ y - Jg.T @ lam
+def _kkt_error_rd(r_d, E, g, s, lam, y, mu):
+    """Scaled KKT error from a precomputed dual residual r_d."""
     m = s.shape[0] + y.shape[0]
     s_d = jnp.maximum(100.0, (jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(y))) / m) / 100.0
     s_c = jnp.maximum(100.0, jnp.sum(jnp.abs(lam)) / s.shape[0]) / 100.0
@@ -108,6 +107,11 @@ def _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, mu):
     err_g = jnp.max(jnp.abs(g - s))
     err_c = jnp.max(jnp.abs(s * lam - mu)) / s_c
     return jnp.maximum(jnp.maximum(err_d, err_e), jnp.maximum(err_g, err_c)), r_d
+
+
+def _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, mu):
+    """Scaled KKT error (dense-Jacobian convenience wrapper)."""
+    return _kkt_error_rd(grad_f + Je.T @ y - Jg.T @ lam, E, g, s, lam, y, mu)
 
 
 def _merit(f, E, g, s, mu, rho):
@@ -216,6 +220,7 @@ def solve(
     lam0: jnp.ndarray | None = None,
     s0: jnp.ndarray | None = None,
     relax_mask: jnp.ndarray | None = None,
+    newton_step_fn=None,
 ) -> IPResult:
     """Solve one NLP instance.  cost/eq/ineq are closures over theta.
 
@@ -282,6 +287,24 @@ def solve(
 
         def hess_fn(z, y, lam, use_exact):
             return jnp.where(use_exact, hess_exact_fn(z, y, lam), hess_gn_fn(z))
+
+    def vjp_eq(z, v):
+        return jax.vjp(eq_fn, z)[1](v)[0]
+
+    def vjp_ineq(z, v):
+        return jax.vjp(ineq_fn, z)[1](v)[0]
+
+    def jvp_ineq(z, dz):
+        return jax.jvp(ineq_fn, (z,), (dz,))[1]
+
+    if newton_step_fn is None:
+
+        def newton_step_fn(z, y, lam, sigma, mu, use_exact, r_d, r_g, rhs_z, rhs_y, delta_last):
+            Je = Je_fn(z)
+            Jg = Jg_fn(z)
+            W = hess_fn(z, y, lam, use_exact)
+            H = W + Jg.T @ (sigma[:, None] * Jg)
+            return _solve_kkt(H, Je, rhs_z, rhs_y, delta_last, cfg)
 
     g0 = ineq_fn(z0)
     E0 = eq_fn(z0)
@@ -362,13 +385,13 @@ def solve(
         g = ineq_mu(z)
         g_true = base_ineq_fn(z)
         grad_f = grad_f_fn(z)
-        Je = Je_fn(z)
-        Jg = Jg_fn(z)
+        # matrix-free dual residual: r_d = grad_f + Je'y - Jg'lam
+        r_d = grad_f + vjp_eq(z, y) - vjp_ineq(z, lam)
 
-        kkt_err, r_d = _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, mu)
+        kkt_err, _ = _kkt_error_rd(r_d, E, g, s, lam, y, mu)
         viol = jnp.maximum(jnp.max(jnp.abs(E)), jnp.max(jnp.maximum(-g_true, 0.0)))
         # overall convergence test at mu -> tol level, on the TRUE constraints
-        kkt_err0, _ = _kkt_error(grad_f, Je, Jg, E, g_true, s, lam, y, 0.0)
+        kkt_err0, _ = _kkt_error_rd(r_d, E, g_true, s, lam, y, 0.0)
         converged = (kkt_err0 <= cfg.tol) & (viol <= cfg.constr_viol_tol)
 
         # ---- Newton step on the barrier KKT system (slack elimination)
@@ -378,13 +401,13 @@ def solve(
             & (kkt_err0 < cfg.hybrid_kkt_switch)
             & (mu <= cfg.hybrid_mu_switch)
         )
-        W = hess_fn(z, y, lam, use_exact)
-        H = W + Jg.T @ (sigma[:, None] * Jg)
         r_g = g - s
-        rhs_z = -(r_d) + Jg.T @ (mu / s - lam - sigma * r_g)
+        rhs_z = -(r_d) + vjp_ineq(z, mu / s - lam - sigma * r_g)
         rhs_y = -E
-        dz, dy, delta_used = _solve_kkt(H, Je, rhs_z, rhs_y, st.delta, cfg)
-        ds = Jg @ dz + r_g
+        dz, dy, delta_used = newton_step_fn(
+            z, y, lam, sigma, mu, use_exact, r_d, r_g, rhs_z, rhs_y, st.delta
+        )
+        ds = jvp_ineq(z, dz) + r_g
         dlam = mu / s - lam - sigma * ds
 
         # ---- fraction-to-boundary
@@ -488,7 +511,7 @@ def solve(
         y_new = jnp.clip(y + alpha_lam * dy, -cfg.y_max, cfg.y_max)
 
         # ---- barrier update: monotone with superlinear decrease
-        barrier_err, _ = _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, mu)
+        barrier_err, _ = _kkt_error_rd(r_d, E, g, s, lam, y, mu)
         shrink = barrier_err <= cfg.kappa_eps * mu
         mu_new = jnp.where(
             shrink,
@@ -533,9 +556,8 @@ def solve(
         E = eq_fn(z)
         g = base_ineq_fn(z)
         grad_f = grad_f_fn(z)
-        Je = Je_fn(z)
-        Jg = Jg_fn(z)
-        kkt_err0, _ = _kkt_error(grad_f, Je, Jg, E, g, s, lam, y, 0.0)
+        r_d = grad_f + vjp_eq(z, y) - vjp_ineq(z, lam)
+        kkt_err0, _ = _kkt_error_rd(r_d, E, g, s, lam, y, 0.0)
     viol = jnp.maximum(jnp.max(jnp.abs(E)), jnp.max(jnp.maximum(-g, 0.0)))
     converged = (kkt_err0 <= cfg.tol) & (viol <= cfg.constr_viol_tol)
     return IPResult(

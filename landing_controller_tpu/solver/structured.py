@@ -1,0 +1,318 @@
+"""Stage-structured Newton step for the landing NLPs.
+
+Replaces the dense KKT assembly/factorization of the interior-point solver
+with per-knot blocks and the block-tridiagonal quasi-definite sweep
+(ops.block_tridiag).  Exploits the transcription structure (SURVEY.md §7.3
+hard-part #3):
+
+- inequality rows of knot k touch only (w_k = [x_k, u_k, jpos_k], c_{k+1});
+- dynamics defects touch (x_k, u_k) and x_{k+1} diagonally;
+- the Lagrangian Hessian is block-tridiagonal in knot bundles.
+
+Per-iteration linear-algebra cost drops from O(n^3) dense (n ~ 1000) to
+O(N * B^3) with B = 60-84 — about two orders of magnitude — and every
+piece is a vmap over knots or a lax.scan along the horizon, so the whole
+step jits small and vmaps over scenarios.
+
+The step runs in the solver's *scaled* space: stage functions compose the
+per-variable scales (z = d * z_tilde) and per-row constraint scales from
+the ScaledNLP, exactly matching the scaled cost/eq/ineq closures the outer
+loop evaluates.
+
+Usage::
+
+    step = make_structured_newton_step(problem, theta, cfg, snlp)
+    res = solve(snlp.cost, snlp.eq, snlp.ineq, z0_scaled, cfg,
+                relax_mask=..., newton_step_fn=step)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.block_tridiag import qd_block_tridiag_factor, qd_block_tridiag_solve
+
+
+def _layout(problem):
+    """Static index layout for the flat z vector <-> knot blocks."""
+    cfg = problem.config
+    n = cfg.n_knots
+    nx, nu, nj = 12, 24, cfg.n_joints
+    nw = nx + nu + nj
+    nh = 12 + (12 if (cfg.kinodynamic or cfg.init_foot_eq) else 0)  # head eq rows
+    nd = 12 + nh  # dynamics + (padded) head multiplier slots per block
+    bs = nw + nd
+    nb = n  # blocks: N-1 knots + tail
+
+    idx = np.full((nb, nw), -1, dtype=np.int64)
+    off_x, off_j, off_u = 0, 12 * n, 12 * n + nj * (n - 1)
+    for k in range(n - 1):
+        idx[k, :nx] = off_x + 12 * k + np.arange(12)
+        idx[k, nx : nx + nu] = off_u + 24 * k + np.arange(24)
+        if nj:
+            idx[k, nx + nu :] = off_j + 12 * k + np.arange(12)
+    idx[n - 1, :nx] = off_x + 12 * (n - 1) + np.arange(12)
+    return dict(n=n, nx=nx, nu=nu, nj=nj, nw=nw, nh=nh, nd=nd, bs=bs, nb=nb, idx=idx)
+
+
+def make_structured_newton_step(problem, theta, cfg, snlp):
+    """Build a newton_step_fn for solver.ip.solve (scaled space).
+
+    `problem`: a LandingProblem (kinodynamic / srbm_lcp / ccc layouts; the
+    contact_scheduled variant keeps the dense path).  `theta`: the runtime
+    parameter pytree.  `snlp`: the ScaledNLP whose closures the outer loop
+    uses (provides z/row scales).
+    """
+    if problem.config.contact_scheduled:
+        raise NotImplementedError("structured step: scheduled variant uses the dense path")
+
+    L = _layout(problem)
+    n, nx, nu, nj, nw, nh, nd, bs, nb = (
+        L["n"], L["nx"], L["nu"], L["nj"], L["nw"], L["nh"], L["nd"], L["bs"], L["nb"],
+    )
+    idx = jnp.asarray(L["idx"])
+    valid = idx >= 0
+    idx_safe = jnp.where(valid, idx, 0)
+    pcfg = problem.config
+    n_vars = problem.n_vars
+
+    mg_term = 24 if pcfg.terminal_box else 0
+    mgk = (problem.n_ineq - mg_term) // (n - 1)
+    ns_masks_np = (np.arange(n - 1) < (n - 2)).astype(np.float64)
+
+    # scales in block layout
+    zs = snlp.z_scale
+    dtype = zs.dtype
+    zs_b = jnp.where(valid, zs[idx_safe], 1.0)  # (nb, nw)
+    gsc = snlp.ineq_scale[: (n - 1) * mgk].reshape(n - 1, mgk)
+    gsc_t = snlp.ineq_scale[(n - 1) * mgk :]
+    esc_head = snlp.eq_scale[:nh]
+    esc_dyn = snlp.eq_scale[nh:].reshape(n - 1, 12)
+    f_scale = snlp.f_scale
+
+    def z_to_blocks(z):
+        return jnp.where(valid, z[idx_safe], 0.0)
+
+    def blocks_to_z(wb):
+        flat = jnp.zeros(n_vars, dtype=wb.dtype)
+        return flat.at[idx_safe.reshape(-1)].add(
+            jnp.where(valid, wb, 0.0).reshape(-1)
+        )
+
+    # ---- scaled stage functions ------------------------------------------
+    def split_v(v):
+        w, cn = v[:nw], v[nw:]
+        return w[:nx], w[nx : nx + nu], w[nx + nu :], cn
+
+    def stage_ineq_s(v_t, vscale, gscale, ns_mask):
+        v = v_t * vscale
+        x, u, jp, cn = split_v(v)
+        if pcfg.kinodynamic:
+            raw = problem._knot_ineq_kino(x, u, jp, cn, ns_mask, theta)
+        else:
+            raw = problem._knot_ineq_srbm(x, u, cn, ns_mask, theta)
+        return gscale * raw
+
+    def stage_defect_s(w_t, wscale, escale, dt_k):
+        """Scaled defect minus its x_{k+1} term (handled diagonally)."""
+        w = w_t * wscale
+        x, u = w[:nx], w[nx : nx + nu]
+        xdot = problem._xdot(x, u, theta)
+        return escale * (-x - xdot * dt_k)
+
+    def stage_cost_s(w_t, wscale, x_ref_k, u_ref_k, dt_k):
+        if not pcfg.running_cost:
+            return jnp.zeros((), dtype=w_t.dtype)
+        w = w_t * wscale
+        x, u = w[:nx], w[nx : nx + nu]
+        p_hip = jnp.asarray(pcfg.p_hip_cost, w.dtype).reshape(12)
+        x_err = x - x_ref_k
+        pf_err = jnp.tile(x[0:3], 4) + p_hip - u[:12]
+        f_err = u[12:] - u_ref_k[12:]
+        return f_scale * (
+            jnp.sum(theta.qx * x_err * x_err)
+            + jnp.sum(jnp.tile(theta.qc, 4) * pf_err * pf_err)
+            + jnp.sum(jnp.tile(theta.qf, 4) * f_err * f_err)
+        ) * dt_k
+
+    def head_eq_s(w0_t):
+        w0 = w0_t * zs_b[0]
+        x0 = w0[:nx]
+        rows = [x0 - jnp.concatenate([theta.q_init, theta.qd_init])]
+        if pcfg.kinodynamic or pcfg.init_foot_eq:
+            rows.append(w0[nx : nx + 12] - theta.c_init)
+        return esc_head * jnp.concatenate(rows)
+
+    def term_cost_s(xl_t):
+        xl = xl_t * zs_b[n - 1, :nx]
+        err = xl - theta.x_ref[-1]
+        return f_scale * jnp.sum(theta.qn * err * err)
+
+    def term_ineq_s(xl_t):
+        xl = xl_t * zs_b[n - 1, :nx]
+        return gsc_t * problem._terminal_ineq(xl, theta)
+
+    # per-knot scale bundles for v = [w_k, c_{k+1}]
+    cnext_scale = jnp.concatenate([zs_b[1 : n - 1, nx : nx + 12], zs_b[n - 1 : n, nx : nx + 12]])
+    v_scale = jnp.concatenate([zs_b[: n - 1], cnext_scale], axis=1)  # (n-1, nw+12)
+    ns_masks = jnp.asarray(ns_masks_np, dtype)
+
+    eye_nd = jnp.eye(nd, dtype=dtype)
+
+    def newton_step(z, y, lam, sigma, mu, use_exact, r_d, r_g, rhs_z, rhs_y, delta_last):
+        dtp = z.dtype
+        wb = z_to_blocks(z)
+        c_next = jnp.concatenate(
+            [wb[1 : n - 1, nx : nx + 12], wb[n - 1 : n, nx : nx + 12]]
+        )
+        vk = jnp.concatenate([wb[: n - 1], c_next], axis=1)  # (n-1, nw+12)
+        sig_k = sigma[: (n - 1) * mgk].reshape(n - 1, mgk)
+        lam_k = lam[: (n - 1) * mgk].reshape(n - 1, mgk)
+        y_dyn = y[nh:].reshape(n - 1, 12)
+
+        def knot_blocks(v, vs, gs, m, lm, yk, esc, x_ref_k, u_ref_k, dt_k):
+            J = jax.jacfwd(lambda vv: stage_ineq_s(vv, vs, gs, m))(v)
+            sg = sig_k  # placeholder; actual sigma applied by caller below
+            return J
+
+        # inequality Jacobians + sigma-weighted blocks
+        def knot_JM(v, vs, gs, m, sg):
+            J = jax.jacfwd(lambda vv: stage_ineq_s(vv, vs, gs, m))(v)
+            return J.T @ (sg[:, None] * J)
+
+        M = jax.vmap(knot_JM)(vk, v_scale, gsc, ns_masks, sig_k)
+
+        # Lagrangian stage Hessians
+        def knot_hess(v, vs, gs, m, lm, yk, esc, x_ref_k, u_ref_k, dt_k):
+            def lag_exact(vv):
+                return (
+                    stage_cost_s(vv[:nw], vs[:nw], x_ref_k, u_ref_k, dt_k)
+                    + yk @ stage_defect_s(vv[:nw], vs[:nw], esc, dt_k)
+                    - lm @ stage_ineq_s(vv, vs, gs, m)
+                )
+
+            def lag_gn(vv):
+                return stage_cost_s(vv[:nw], vs[:nw], x_ref_k, u_ref_k, dt_k)
+
+            if pcfg.running_cost:
+                Hg = jax.hessian(lag_gn)(v)
+            else:
+                Hg = jnp.zeros((v.shape[0], v.shape[0]), v.dtype)
+            He = jax.hessian(lag_exact)(v)
+            return jnp.where(use_exact, He, Hg)
+
+        Hk = jax.vmap(knot_hess)(
+            vk, v_scale, gsc, ns_masks, lam_k, y_dyn, esc_dyn,
+            theta.x_ref[:-1], theta.u_ref, theta.dt,
+        )
+        HM = Hk + M
+
+        # defect Jacobians wrt w (scaled)
+        Dk = jax.vmap(
+            lambda w, vs, esc, dt_k: jax.jacfwd(
+                lambda ww: stage_defect_s(ww, vs, esc, dt_k)
+            )(w)
+        )(wb[: n - 1], zs_b[: n - 1], esc_dyn, theta.dt)
+
+        Jh = jax.jacfwd(head_eq_s)(wb[0])  # (nh, nw)
+
+        xl_t = wb[n - 1, :nx]
+        Ht = jax.hessian(term_cost_s)(xl_t)
+        if mg_term:
+            Jt = jax.jacfwd(term_ineq_s)(xl_t)
+            sig_t = sigma[(n - 1) * mgk :]
+            Ht = Ht + Jt.T @ (sig_t[:, None] * Jt)
+
+        # x_{k+1} coefficient of the scaled defect rows: diag(esc * zscale)
+        xnext_coef = esc_dyn * zs_b[1:, :nx]  # (n-1, 12)
+
+        # ---- assemble block-tridiagonal A, C -----------------------------
+        A = jnp.zeros((nb, bs, bs), dtp)
+        C = jnp.zeros((nb - 1, bs, bs), dtp)
+        A = A.at[: n - 1, :nw, :nw].add(HM[:, :nw, :nw])
+        A = A.at[1:n, nx : nx + 12, nx : nx + 12].add(HM[:, nw:, nw:])
+        C = C.at[: n - 1, nx : nx + 12, :nw].add(HM[:, nw:, :nw])
+        A = A.at[: n - 1, :nw, nw : nw + 12].add(jnp.swapaxes(Dk, 1, 2))
+        A = A.at[: n - 1, nw : nw + 12, :nw].add(Dk)
+        diag_coef = jax.vmap(jnp.diag)(xnext_coef)  # (n-1, 12, 12)
+        C = C.at[: n - 1, :12, nw : nw + 12].add(diag_coef)
+        A = A.at[0, :nw, nw + 12 : nw + 12 + nh].add(Jh.T)
+        A = A.at[0, nw + 12 : nw + 12 + nh, :nw].add(Jh)
+        A = A.at[n - 1, :nx, :nx].add(Ht)
+        if nw > nx:
+            A = A.at[n - 1, nx:nw, nx:nw].add(jnp.eye(nw - nx, dtype=dtp))
+        delta_c = jnp.maximum(jnp.asarray(cfg.delta_c, dtp), 1e-6 * delta_last)
+        A = A.at[:, nw:, nw:].add(-delta_c * eye_nd[None])
+
+        # ---- regularization ladder + Jacobi equilibration ----------------
+        dw = jnp.diagonal(A[:, :nw, :nw], axis1=1, axis2=2)
+        base = 1e-2 * jnp.mean(jnp.where(valid, dw, 0.0)) + jnp.asarray(1e-12, dtp)
+        shift = jnp.abs(dw) + base
+        scale_w = 1.0 / jnp.sqrt(shift)
+        # multiplier-row equilibration: normalize each equality row by its
+        # Jacobian norm (incl. the x_{k+1} coupling living in C) so the f32
+        # Schur sweep doesn't span 1e-8 (delta_c) .. 1e4 (row scale^2)
+        dyn_norm2 = jnp.sum(Dk * Dk, axis=2)  # (n-1, 12) over w cols
+        dyn_norm2 = dyn_norm2 + xnext_coef * xnext_coef
+        nu_scale = jnp.ones((nb, nd), dtp)
+        nu_scale = nu_scale.at[: n - 1, :12].set(
+            1.0 / jnp.sqrt(dyn_norm2 + 1e-6)
+        )
+        head_norm2 = jnp.sum(Jh * Jh, axis=1)
+        nu_scale = nu_scale.at[0, 12 : 12 + nh].set(1.0 / jnp.sqrt(head_norm2 + 1e-6))
+        d_block = jnp.concatenate([scale_w, nu_scale], axis=1)
+
+        ar = jnp.arange(nw)
+
+        def scaled_system(delta):
+            As = A.at[:, ar, ar].add(delta * shift)
+            As = As * d_block[:, :, None] * d_block[:, None, :]
+            Cs = C * d_block[1:, :, None] * d_block[:-1, None, :]
+            return As, Cs
+
+        deltas = jnp.stack(
+            [
+                jnp.asarray(cfg.delta_w, dtp),
+                delta_last,
+                10.0 * delta_last,
+                1e3 * delta_last,
+            ]
+        )
+        facs = jax.vmap(lambda d: qd_block_tridiag_factor(*scaled_system(d), nw, nd))(deltas)
+        oks = facs.ok
+        pick = jnp.where(jnp.any(oks), jnp.argmax(oks), deltas.shape[0] - 1)
+        fac = jax.tree_util.tree_map(lambda leaf: leaf[pick], facs)
+        delta_used = deltas[pick]
+        As_u, Cs_u = scaled_system(delta_used)
+
+        def K_mul(xb):
+            out = jnp.einsum("kij,kj->ki", As_u, xb)
+            out = out.at[1:].add(jnp.einsum("kij,kj->ki", Cs_u, xb[:-1]))
+            out = out.at[:-1].add(jnp.einsum("kji,kj->ki", Cs_u, xb[1:]))
+            return out
+
+        # ---- rhs in block layout -----------------------------------------
+        rz_blocks = z_to_blocks(rhs_z)
+        b = jnp.zeros((nb, bs), dtp)
+        b = b.at[:, :nw].set(rz_blocks)
+        b = b.at[: n - 1, nw : nw + 12].set(rhs_y[nh:].reshape(n - 1, 12))
+        b = b.at[0, nw + 12 : nw + 12 + nh].set(rhs_y[:nh])
+        b_s = b * d_block
+
+        x_s = qd_block_tridiag_solve(fac, b_s, nw, nd)
+        for _ in range(cfg.refine_steps):
+            # blockwise iterative refinement (f32: the 21-block sequential
+            # Schur sweep accumulates rounding error along the horizon)
+            r = b_s - K_mul(x_s)
+            x_s = x_s + qd_block_tridiag_solve(fac, r, nw, nd)
+        x = x_s * d_block
+
+        dz = blocks_to_z(x[:, :nw])
+        dy = jnp.concatenate(
+            [x[0, nw + 12 : nw + 12 + nh], x[: n - 1, nw : nw + 12].reshape(-1)]
+        )
+        return dz, dy, delta_used
+
+    return newton_step

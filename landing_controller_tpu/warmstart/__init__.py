@@ -1,4 +1,6 @@
-"""Warm-start layer: reference trajectories, scenario sampling, cascade."""
+"""Warm-start layer: reference trajectories, scenario sampling, cascade, NN."""
+
+from . import nn
 
 from .reference import (
     ccc_params,
@@ -18,4 +20,5 @@ __all__ = [
     "contact_scheduled_params",
     "default_contact_schedule",
     "initial_guess_from_reference",
+    "nn",
 ]

@@ -1,0 +1,84 @@
+"""NN warm-start pipeline tests: normalization round-trip, touchdown
+alignment, MLP shapes and training on synthetic data (the reference's own
+distribution-level validation strategy, data_normalization.m:119-133)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from landing_controller_tpu.warmstart import nn
+
+
+def _synthetic_dataset(m=16, seed=0):
+    rng = np.random.default_rng(seed)
+    inputs = rng.normal(size=(m, 9)).astype(np.float32)
+    X = rng.normal(size=(m, nn.N_KNOTS, 12)).astype(np.float32)
+    U = np.zeros((m, nn.N_KNOTS - 1, 24), dtype=np.float32)
+    U[:, :, :12] = rng.normal(size=(m, nn.N_KNOTS - 1, 12))
+    # GRFs: zero until a per-sample touchdown knot, then ramp
+    for i in range(m):
+        td = rng.integers(1, 6)
+        for leg in range(4):
+            U[i, td:, 14 + 3 * leg] = 20.0 + 5 * rng.random()
+    jpos = rng.normal(size=(m, nn.N_KNOTS - 1, 12)).astype(np.float32)
+    return (jnp.asarray(inputs), jnp.asarray(X), jnp.asarray(U), jnp.asarray(jpos))
+
+
+def test_touchdown_indices():
+    _, _, U, _ = _synthetic_dataset(4, seed=1)
+    td = np.asarray(jax.vmap(nn.touchdown_indices)(U))
+    fz = np.asarray(U[:, :, 14::3])
+    for i in range(4):
+        for leg in range(4):
+            expected = np.argmax(fz[i, :, leg] > 1.0)
+            assert td[i, leg] == expected
+
+
+def test_normalize_denormalize_roundtrip():
+    """Denormalization inverts normalization (X, c, jpos exactly; GRFs up to
+    the touchdown shift whose tail padding is lossy by design)."""
+    inputs, X, U, jpos = _synthetic_dataset()
+    stats = nn.compute_stats(inputs, X, U, jpos, mass=8.252)
+    xin_n, target = nn.normalize_sample(stats, inputs[0], X[0], U[0], jpos[0])
+    assert target.shape == (nn.OUTPUT_DIM,)
+    X_dn, U_dn, jpos_dn = nn.denormalize_output(stats, target)
+    np.testing.assert_allclose(np.asarray(X_dn)[1:], np.asarray(X[0])[1:], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(U_dn)[:, :12], np.asarray(U[0])[:, :12], atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(jpos_dn), np.asarray(jpos[0]), atol=1e-4)
+    # GRFs: values after touchdown are preserved
+    td = np.asarray(nn.touchdown_indices(U[0]))
+    fz = np.asarray(U[0][:, 14::3])
+    fz_dn = np.asarray(U_dn[:, 14::3])
+    for leg in range(4):
+        t = td[leg]
+        np.testing.assert_allclose(fz_dn[t:, leg], fz[t:, leg], atol=1e-3)
+
+
+def test_mlp_shapes_and_training_reduces_loss():
+    inputs, X, U, jpos = _synthetic_dataset(32)
+    stats = nn.compute_stats(inputs, X, U, jpos, mass=8.252)
+    xin_n, targets = jax.vmap(lambda a, b, c, d: nn.normalize_sample(stats, a, b, c, d))(
+        inputs, X, U, jpos
+    )
+    params, losses = nn.train_mlp(xin_n, targets, epochs=30, batch_size=16, hidden=64)
+    assert losses[-1] < losses[0] * 0.5
+    y = nn.mlp_apply(params, xin_n[0])
+    assert y.shape == (nn.OUTPUT_DIM,)
+
+
+def test_nn_guess_packs_into_problem():
+    from landing_controller_tpu.models import get_robot_params
+    from landing_controller_tpu.problems import kinodynamic_problem
+
+    inputs, X, U, jpos = _synthetic_dataset(8)
+    stats = nn.compute_stats(inputs, X, U, jpos, mass=8.252)
+    params = nn.init_mlp(jax.random.PRNGKey(0), hidden=64)
+    prob = kinodynamic_problem(get_robot_params("mc3D"), n_knots=21)
+    q0 = jnp.asarray([0, 0, 0.6, 0.1, 0.3, 0.0], jnp.float32)
+    qd0 = jnp.asarray([0, 0, 0, 0.2, 0.1, -2.0], jnp.float32)
+    z0 = nn.nn_warmstart_guess(params, stats, q0, qd0, prob)
+    assert z0.shape == (prob.n_vars,)
+    v = prob.unpack(z0)
+    np.testing.assert_allclose(np.asarray(v.X[0]), np.concatenate([q0, qd0]), atol=1e-6)
