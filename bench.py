@@ -22,9 +22,22 @@ def main():
 
     from landing_controller_tpu.api import LandingSolver
 
-    solver = LandingSolver("srbm_lcp", dtype=jnp.float32)
+    from landing_controller_tpu.solver import IPConfig
 
-    B = 32
+    cfg = IPConfig(
+        max_iter=160,
+        n_linesearch=8,
+        hessian_mode="hybrid",
+        mu_min=1e-5,
+        tol=2e-4,
+        sigma_max=1e5,
+        refine_steps=3,
+        relax_scale=1.0,
+        delta_c=1e-6,
+    )
+    solver = LandingSolver("srbm_lcp", dtype=jnp.float32, structured=True, config=cfg)
+
+    B = 64
     rng = np.random.default_rng(0)
     q0s = np.zeros((B, 6), np.float32)
     q0s[:, 2] = 0.6
