@@ -25,8 +25,7 @@ def main():
     from landing_controller_tpu.solver import IPConfig
 
     cfg = IPConfig(
-        max_iter=160,
-        n_linesearch=8,
+        max_iter=200,
         hessian_mode="hybrid",
         mu_min=1e-5,
         tol=2e-4,

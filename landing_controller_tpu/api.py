@@ -28,6 +28,7 @@ from .problems.landing import (
     ccc_problem,
     contact_scheduled_problem,
     kinodynamic_problem,
+    sliding_problem,
     srbm_lcp_problem,
 )
 from .solver import IPConfig, solve
@@ -59,6 +60,7 @@ _PROBLEMS = {
     "srbm_lcp": (srbm_lcp_problem, srbm_lcp_params),
     "ccc": (ccc_problem, ccc_params),
     "contact_scheduled": (contact_scheduled_problem, contact_scheduled_params),
+    "sliding": (sliding_problem, srbm_lcp_params),
 }
 
 

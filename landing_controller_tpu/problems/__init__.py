@@ -15,6 +15,7 @@ from .landing import (
     ccc_problem,
     contact_scheduled_problem,
     kinodynamic_problem,
+    sliding_problem,
     srbm_lcp_problem,
 )
 
@@ -27,4 +28,5 @@ __all__ = [
     "srbm_lcp_problem",
     "ccc_problem",
     "contact_scheduled_problem",
+    "sliding_problem",
 ]

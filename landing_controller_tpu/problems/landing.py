@@ -120,6 +120,7 @@ class LandingConfig:
     side_sign: tuple = (-1.0, 1.0, -1.0, 1.0)
     tau_max: tuple = (18.0, 18.0, 28.0)
     # variant switches
+    sliding: bool = False  # kinetic-friction sliding complementarity
     contact_scheduled: bool = False  # cs parameter, equality contacts
     running_cost: bool = False  # QX/Qc/Qf running terms
     terminal_box: bool = True  # terminal state box rows
@@ -258,6 +259,8 @@ class LandingProblem:
         n = c.n_knots
         if c.contact_scheduled:
             per_knot = 4 + 4 + 24 + 4 + 16 + 24
+        elif c.sliding:
+            per_knot = 4 + 4 + 4 + 4 + 16 + 24 + 4 + 16 + 24
         elif c.kinodynamic:
             per_knot = 4 + 4 + 4 + 24 + 8 + 8 + 8 + 4 + 24 + 16 + 1 + 24 + 24
         else:
@@ -275,6 +278,9 @@ class LandingProblem:
             groups = [("fz", 4), ("cz", 4), ("lcp", 4), ("ns_hi", 12), ("ns_lo", 12),
                       ("kinbox", 24), ("leglen", 4), ("torque", 24), ("fric", 16),
                       ("z_bound", 1), ("fk_band", 24), ("jlim", 24)]
+        elif c.sliding:
+            groups = [("fz", 4), ("fmax", 4), ("cz", 4), ("lcp", 4), ("slide", 16),
+                      ("kinbox", 24), ("leglen", 4), ("fric", 16), ("statebox", 24)]
         else:
             groups = [("fz", 4), ("fmax", 4), ("cz", 4), ("lcp", 4), ("ns_hi", 12),
                       ("ns_lo", 12), ("kinbox", 24), ("leglen", 4), ("fric", 16),
@@ -300,6 +306,9 @@ class LandingProblem:
         elif c.kinodynamic:
             sizes = [4, 4, 4, 12, 12, 24, 4, 24, 16, 1, 24, 24]
             marked = {2, 3, 4, 10}  # lcp, ns_hi, ns_lo, fk_band
+        elif c.sliding:
+            sizes = [4, 4, 4, 4, 16, 24, 4, 16, 24]
+            marked = {3, 4}  # lcp, sliding rows
         else:
             sizes = [4, 4, 4, 4, 12, 12, 24, 4, 16, 24]
             marked = {3, 4, 5}  # lcp, ns_hi, ns_lo
@@ -326,8 +335,8 @@ class LandingProblem:
             knot_fn = partial(self._knot_ineq_kino, theta=theta)
             rows = jax.vmap(knot_fn)(v.X[:-1], v.U, v.jpos, c_next, ns_mask)
         else:
-            knot_fn = partial(self._knot_ineq_srbm, theta=theta)
-            rows = jax.vmap(knot_fn)(v.X[:-1], v.U, c_next, ns_mask)
+            knot_fn = lambda x, u, cn, m, dt: self._knot_ineq_srbm(x, u, cn, m, theta, dt)
+            rows = jax.vmap(knot_fn)(v.X[:-1], v.U, c_next, ns_mask, theta.dt)
         if self.config.terminal_box:
             term = self._terminal_ineq(v.X[-1], theta)
             return jnp.concatenate([rows.reshape(-1), term])
@@ -446,13 +455,34 @@ class LandingProblem:
         return jnp.concatenate([fz, fz_sched, box, leg_len, fric, state_box])
 
     # --- srbm knot ---------------------------------------------------------
-    def _knot_ineq_srbm(self, x_k, u_k, c_next, ns_mask, theta):
+    def _knot_ineq_srbm(self, x_k, u_k, c_next, ns_mask, theta, dt_k=None):
         cfg = self.config
         rpy = x_k[3:6]
         R_b2w = rpy_to_rot_zyx(rpy)
         fz, cz, lcp, ns_hi, ns_lo = self._contact_core(
             x_k, u_k, c_next, ns_mask, theta, cfg.noslip_eps
         )
+        if cfg.sliding:
+            # kinetic-friction sliding complementarity
+            # (main_scripts/landing_optimization_sliding.m:150-165): the
+            # tangential foot velocity may only be nonzero when the friction
+            # force saturates:  fz * (dc_t/dt) * (f_t -+ 0.71 mu fz) in
+            # [-1e-3, 1e-3].  (The reference's y-row inequality senses are
+            # inconsistent with its x rows — a research-file slip; we use
+            # the symmetric x-row form for both axes.)
+            c = u_k[:12].reshape(4, 3)
+            f = u_k[12:].reshape(4, 3)
+            dc = (c_next.reshape(4, 3) - c) / dt_k
+            lim = cfg.friction_pyramid_factor * theta.mu * f[:, 2]
+            eps = cfg.noslip_eps
+            rows = []
+            for ax in (0, 1):
+                prod_pos = f[:, 2] * dc[:, ax] * (f[:, ax] - lim)
+                prod_neg = f[:, 2] * dc[:, ax] * (f[:, ax] + lim)
+                rows.append(ns_mask * (eps - prod_pos) + (1.0 - ns_mask))
+                rows.append(ns_mask * (prod_neg + eps) + (1.0 - ns_mask))
+            slide = jnp.concatenate(rows)
+            ns_hi, ns_lo = slide, jnp.zeros((0,), x_k.dtype)
         fmax_rows = theta.f_max - fz
         p_rel = self._p_rel(x_k, u_k, R_b2w)
         box = jnp.concatenate(
@@ -502,6 +532,18 @@ def kinodynamic_problem(robot_params, n_knots: int = 21) -> LandingProblem:
 def srbm_lcp_problem(robot_params, n_knots: int = 21) -> LandingProblem:
     """The SRBM-LCP warm-start NLP (generate_landingCtrller_IPOPT_warmstart.m)."""
     cfg = LandingConfig(n_knots=n_knots, kinodynamic=False, rotation="zyx", noslip_eps=1e-2)
+    return LandingProblem(cfg, robot_params)
+
+
+def sliding_problem(robot_params, n_knots: int = 18) -> LandingProblem:
+    """Sliding-contact landing NLP, N=18, T=0.6
+    (main_scripts/landing_optimization_sliding.m:29-32,150-165): srbm_lcp
+    family with kinetic-friction sliding complementarity on the tangential
+    foot velocity instead of no-slip."""
+    cfg = LandingConfig(
+        n_knots=n_knots, kinodynamic=False, rotation="zyx", noslip_eps=1e-3,
+        sliding=True,
+    )
     return LandingProblem(cfg, robot_params)
 
 

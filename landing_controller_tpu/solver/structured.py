@@ -106,13 +106,13 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
         w, cn = v[:nw], v[nw:]
         return w[:nx], w[nx : nx + nu], w[nx + nu :], cn
 
-    def stage_ineq_s(v_t, vscale, gscale, ns_mask):
+    def stage_ineq_s(v_t, vscale, gscale, ns_mask, dt_k):
         v = v_t * vscale
         x, u, jp, cn = split_v(v)
         if pcfg.kinodynamic:
             raw = problem._knot_ineq_kino(x, u, jp, cn, ns_mask, theta)
         else:
-            raw = problem._knot_ineq_srbm(x, u, cn, ns_mask, theta)
+            raw = problem._knot_ineq_srbm(x, u, cn, ns_mask, theta, dt_k)
         return gscale * raw
 
     def stage_defect_s(w_t, wscale, escale, dt_k):
@@ -172,17 +172,12 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
         lam_k = lam[: (n - 1) * mgk].reshape(n - 1, mgk)
         y_dyn = y[nh:].reshape(n - 1, 12)
 
-        def knot_blocks(v, vs, gs, m, lm, yk, esc, x_ref_k, u_ref_k, dt_k):
-            J = jax.jacfwd(lambda vv: stage_ineq_s(vv, vs, gs, m))(v)
-            sg = sig_k  # placeholder; actual sigma applied by caller below
-            return J
-
         # inequality Jacobians + sigma-weighted blocks
-        def knot_JM(v, vs, gs, m, sg):
-            J = jax.jacfwd(lambda vv: stage_ineq_s(vv, vs, gs, m))(v)
+        def knot_JM(v, vs, gs, m, sg, dt_k):
+            J = jax.jacfwd(lambda vv: stage_ineq_s(vv, vs, gs, m, dt_k))(v)
             return J.T @ (sg[:, None] * J)
 
-        M = jax.vmap(knot_JM)(vk, v_scale, gsc, ns_masks, sig_k)
+        M = jax.vmap(knot_JM)(vk, v_scale, gsc, ns_masks, sig_k, theta.dt)
 
         # Lagrangian stage Hessians
         def knot_hess(v, vs, gs, m, lm, yk, esc, x_ref_k, u_ref_k, dt_k):
@@ -190,7 +185,7 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
                 return (
                     stage_cost_s(vv[:nw], vs[:nw], x_ref_k, u_ref_k, dt_k)
                     + yk @ stage_defect_s(vv[:nw], vs[:nw], esc, dt_k)
-                    - lm @ stage_ineq_s(vv, vs, gs, m)
+                    - lm @ stage_ineq_s(vv, vs, gs, m, dt_k)
                 )
 
             def lag_gn(vv):
