@@ -7,6 +7,13 @@ was an ``opti.parameter`` is a theta leaf; shapes and schedule structure are
 compile-time static).
 """
 
+from .eeparam import (
+    EEParamConfig,
+    EEParamParams,
+    EEParamProblem,
+    default_eeparam_params,
+    eeparam_problem,
+)
 from .landing import (
     LandingConfig,
     LandingParams,
@@ -29,4 +36,9 @@ __all__ = [
     "ccc_problem",
     "contact_scheduled_problem",
     "sliding_problem",
+    "EEParamConfig",
+    "EEParamParams",
+    "EEParamProblem",
+    "eeparam_problem",
+    "default_eeparam_params",
 ]

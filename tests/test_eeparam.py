@@ -1,0 +1,72 @@
+"""Phase-based (free contact timing) eeParam NLP tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from landing_controller_tpu.problems.eeparam import (
+    EEParamVars,
+    _deriv,
+    _hermite_to_power,
+    _polyval,
+    default_eeparam_params,
+    eeparam_problem,
+)
+
+
+def test_hermite_conversion_endpoints():
+    """Power coefficients reproduce the Hermite endpoint conditions."""
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(3, 4)))
+    d = jnp.asarray(0.37)
+    p = _hermite_to_power(h, d)
+    np.testing.assert_allclose(np.asarray(_polyval(p, 0.0)), np.asarray(h[:, 0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(_polyval(p, d)), np.asarray(h[:, 2]), atol=1e-12)
+    dp = _deriv(p)
+    np.testing.assert_allclose(np.asarray(_polyval(dp, 0.0)), np.asarray(h[:, 1]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(_polyval(dp, d)), np.asarray(h[:, 3]), atol=1e-12)
+
+
+def test_chain_eval_selects_correct_spline():
+    prob = eeparam_problem()
+    rng = np.random.default_rng(1)
+    coefs = jnp.asarray(rng.normal(size=(4, 3, 4)))
+    durs = jnp.asarray([0.2, 0.1, 0.1, 0.1])
+    # inside spline 2 (starts at 0.3)
+    val = prob._eval_chain(coefs, durs, jnp.asarray(0.35))
+    expected = _polyval(_hermite_to_power(coefs[2], durs[2]), 0.05)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(expected), atol=1e-12)
+
+
+@pytest.mark.slow
+def test_eeparam_landing_solves_with_free_timing():
+    """BASELINE config-2 style: contact timing optimized, physical landing."""
+    from landing_controller_tpu.solver import IPConfig, solve
+    from landing_controller_tpu.solver.scaling import scale_problem
+
+    prob = eeparam_problem()
+    theta = default_eeparam_params(jnp.float64)
+    z0 = prob.initial_guess(theta)
+    snlp = scale_problem(
+        lambda z: prob.cost(z, theta),
+        lambda z: prob.eq(z, theta),
+        lambda z: prob.ineq(z, theta),
+        z0,
+    )
+    cfg = IPConfig(max_iter=150, hessian_mode="gn", relax_scale=0.0, delta_c=1e-6)
+    res = jax.jit(lambda z: solve(snlp.cost, snlp.eq, snlp.ineq, z, cfg))(
+        snlp.to_scaled(z0)
+    )
+    assert bool(res.converged), (float(res.kkt_error), float(res.constr_viol))
+    v = prob.unpack(snlp.from_scaled(res.z))
+    d = np.asarray(v.durations)
+    # durations are free variables: optimized flight phase is nontrivial and
+    # phases sum to the horizon
+    np.testing.assert_allclose(d.sum(axis=1), 0.8, atol=1e-5)
+    assert (d[:, 0] > 0.05).all() and (d[:, 1] > 0.3).all()
+    # terminal base height hits the target
+    zT = float(prob._base_at(v, 0.8)[0][2])
+    assert abs(zT - 0.3) < 1e-3
+    # stance normal forces are non-negative at nodes
+    assert np.asarray(v.force[:, 1:, 2, [0, 2]]).min() >= -1e-6
