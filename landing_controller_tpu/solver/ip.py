@@ -46,6 +46,14 @@ class IPConfig:
     kappa_mu: float = 0.2  # linear mu decrease factor
     theta_mu: float = 1.5  # superlinear mu exponent
     kappa_eps: float = 10.0  # barrier subproblem tolerance = kappa_eps * mu
+    mu_strategy: str = "monotone"  # "monotone": Fiacco-McCormick stages
+    # (each mu held until barrier_err <= kappa_eps*mu — IPOPT's default);
+    # "loqo": adaptive centrality-based rule mu = 0.1*min(0.05(1-xi)/xi, 2)^3
+    # * avg(s lam), xi = min(s lam)/avg (IPOPT mu_oracle='loqo').  The
+    # adaptive rule avoids stalling whole mu stages on slow barrier
+    # subproblems — it is the batched/branch-free choice here because one
+    # slow scenario otherwise pins its lane at a high mu for tens of
+    # iterations (the dominant failure mode observed on cold-start LCP).
     tau_min: float = 0.99  # fraction-to-boundary
     s_init_min: float = 1e-2  # slack floor at init (bound_push analogue)
     delta_w: float = 1e-6  # primal (Hessian) regularization floor
@@ -72,6 +80,17 @@ class IPConfig:
     y_max: float = 1e5  # equality-multiplier magnitude cap
     sigma_max: float = 1e8  # cap on lam/s entering the condensed Hessian
     refine_steps: int = 1  # iterative refinement of the KKT solve
+    # inertia-correction ladder: the candidate shifts factorized in parallel
+    # each iteration.  0.0 -> the delta_w floor; s > 0 -> s * delta_last
+    # (the carried adaptive shift).  Shorter ladders factor less per
+    # iteration; a failed step bumps delta_last 10x for the next iteration,
+    # so robustness costs occasional extra iterations instead of 4x factor
+    # work every iteration (IPOPT re-factors inside an iteration; we
+    # amortize across iterations to stay branch-free).
+    ladder_scales: tuple = (0.0, 1.0, 10.0, 1000.0)
+    kkt_backend: str = "scan"  # structured KKT: "scan" (sequential block
+    # LDL' sweep) or "cr" (block cyclic reduction — log-depth, batched
+    # factor/update per level; the TPU-friendly choice)
     relax_scale: float = 0.0  # mu-proportional relaxation of marked rows
     # (MPCC homotopy: g_eff = g + relax_scale*mu*mask; exact as mu -> floor)
     bound_relax_factor: float = 1e-6  # constant relaxation of ALL inequality
@@ -154,10 +173,8 @@ def _solve_kkt(H0, Je, rhs_z, rhs_y, delta_last, cfg):
     Hn = H0 * dinv[:, None] * dinv[None, :]
     deltas = jnp.stack(
         [
-            jnp.asarray(cfg.delta_w, dtype),
-            delta_last,
-            10.0 * delta_last,
-            1e3 * delta_last,
+            jnp.asarray(cfg.delta_w, dtype) if s == 0.0 else s * delta_last
+            for s in cfg.ladder_scales
         ]
     )
     Hs = Hn[None] + deltas[:, None, None] * eye[None]
@@ -510,20 +527,33 @@ def solve(
         # landing_optimization.m:342)
         y_new = jnp.clip(y + alpha_lam * dy, -cfg.y_max, cfg.y_max)
 
-        # ---- barrier update: monotone with superlinear decrease
-        barrier_err, _ = _kkt_error_rd(r_d, E, g, s, lam, y, mu)
-        shrink = barrier_err <= cfg.kappa_eps * mu
-        mu_new = jnp.where(
-            shrink,
-            jnp.maximum(cfg.tol / 10.0, jnp.minimum(cfg.kappa_mu * mu, mu**cfg.theta_mu)),
-            mu,
-        )
-        mu_new = jnp.maximum(mu_new, cfg.mu_min)
-        # reset the filter whenever the barrier parameter changes (IPOPT does)
-        mu_changed = mu_new != mu
-        filt_theta_new = jnp.where(mu_changed, jnp.full_like(filt_theta_new, theta_max), filt_theta_new)
-        filt_phi_new = jnp.where(mu_changed, jnp.full_like(filt_phi_new, -big), filt_phi_new)
-        filt_ptr_new = jnp.where(mu_changed, 0, filt_ptr_new)
+        # ---- barrier update
+        if cfg.mu_strategy == "loqo":
+            # adaptive centrality rule (LOQO / IPOPT mu_oracle='loqo'),
+            # evaluated at the accepted iterate; mu moves every iteration,
+            # so the filter is NOT reset on mu changes (it would never act)
+            comp = s_new * lam_new
+            avg = jnp.maximum(jnp.mean(comp), jnp.asarray(1e-30, dtype))
+            xi = jnp.min(comp) / avg
+            sig_c = 0.1 * jnp.minimum(
+                0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-12), 2.0
+            ) ** 3
+            mu_new = jnp.clip(sig_c * avg, cfg.mu_min, cfg.mu_init)
+        else:
+            # monotone Fiacco-McCormick with superlinear decrease
+            barrier_err, _ = _kkt_error_rd(r_d, E, g, s, lam, y, mu)
+            shrink = barrier_err <= cfg.kappa_eps * mu
+            mu_new = jnp.where(
+                shrink,
+                jnp.maximum(cfg.tol / 10.0, jnp.minimum(cfg.kappa_mu * mu, mu**cfg.theta_mu)),
+                mu,
+            )
+            mu_new = jnp.maximum(mu_new, cfg.mu_min)
+            # reset the filter whenever the barrier parameter changes (IPOPT does)
+            mu_changed = mu_new != mu
+            filt_theta_new = jnp.where(mu_changed, jnp.full_like(filt_theta_new, theta_max), filt_theta_new)
+            filt_phi_new = jnp.where(mu_changed, jnp.full_like(filt_phi_new, -big), filt_phi_new)
+            filt_ptr_new = jnp.where(mu_changed, 0, filt_ptr_new)
 
         # freeze once converged
         keep = st.done | converged

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.block_tridiag import qd_block_tridiag_factor, qd_block_tridiag_solve
+from ..ops.cyclic_reduction import cr_factor, cr_solve
 
 
 def _layout(problem):
@@ -267,15 +268,20 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
             Cs = C * d_block[1:, :, None] * d_block[:-1, None, :]
             return As, Cs
 
+        if cfg.kkt_backend == "cr":
+            factor_fn = lambda Amat, Cmat: cr_factor(Amat, Cmat, nw, nd)
+            solve_fn = lambda fc, rhs: cr_solve(fc, rhs, nw, nd)
+        else:
+            factor_fn = lambda Amat, Cmat: qd_block_tridiag_factor(Amat, Cmat, nw, nd)
+            solve_fn = lambda fc, rhs: qd_block_tridiag_solve(fc, rhs, nw, nd)
+
         deltas = jnp.stack(
             [
-                jnp.asarray(cfg.delta_w, dtp),
-                delta_last,
-                10.0 * delta_last,
-                1e3 * delta_last,
+                jnp.asarray(cfg.delta_w, dtp) if s == 0.0 else s * delta_last
+                for s in cfg.ladder_scales
             ]
         )
-        facs = jax.vmap(lambda d: qd_block_tridiag_factor(*scaled_system(d), nw, nd))(deltas)
+        facs = jax.vmap(lambda d: factor_fn(*scaled_system(d)))(deltas)
         oks = facs.ok
         pick = jnp.where(jnp.any(oks), jnp.argmax(oks), deltas.shape[0] - 1)
         fac = jax.tree_util.tree_map(lambda leaf: leaf[pick], facs)
@@ -296,12 +302,12 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
         b = b.at[0, nw + 12 : nw + 12 + nh].set(rhs_y[:nh])
         b_s = b * d_block
 
-        x_s = qd_block_tridiag_solve(fac, b_s, nw, nd)
+        x_s = solve_fn(fac, b_s)
         for _ in range(cfg.refine_steps):
-            # blockwise iterative refinement (f32: the 21-block sequential
-            # Schur sweep accumulates rounding error along the horizon)
+            # blockwise iterative refinement (f32: the block Schur sweeps
+            # accumulate rounding error along the horizon)
             r = b_s - K_mul(x_s)
-            x_s = x_s + qd_block_tridiag_solve(fac, r, nw, nd)
+            x_s = x_s + solve_fn(fac, r)
         x = x_s * d_block
 
         dz = blocks_to_z(x[:, :nw])
