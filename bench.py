@@ -9,6 +9,7 @@ i.e. 125 solves/s/chip.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -18,6 +19,17 @@ BASELINE_PER_CHIP = 125.0  # north star 1000 solves/s on 8 chips
 
 def main():
     import jax
+
+    # Persistent XLA compile cache: the IP solve graph is large (minutes to
+    # compile cold on TPU); warm runs load the cached executable instead.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from landing_controller_tpu.api import LandingSolver

@@ -1,4 +1,5 @@
-"""Analysis subsystems: tracking value function (VBL/Riccati), envelopes."""
+"""Analysis subsystems: tracking value function (VBL/Riccati), envelopes,
+warm-start timing comparison harness."""
 
 from .vbl import (
     variational_dynamics,
@@ -7,6 +8,7 @@ from .vbl import (
     riccati_value_function,
     default_vbl_weights,
 )
+from .warmstart_bench import warmstart_comparison, plot_warmstart_comparison
 
 __all__ = [
     "variational_dynamics",
@@ -14,4 +16,6 @@ __all__ = [
     "riccati_step_forward",
     "riccati_value_function",
     "default_vbl_weights",
+    "warmstart_comparison",
+    "plot_warmstart_comparison",
 ]

@@ -1,5 +1,12 @@
-"""Visualization: trajectory summary panels and envelope maps."""
+"""Visualization: trajectory summary panels, envelope maps, 3D animation."""
 
 from .plots import motor_voltages, plot_results, plot_envelope
+from .animate import animate_landing, draw_frame
 
-__all__ = ["plot_results", "plot_envelope", "motor_voltages"]
+__all__ = [
+    "plot_results",
+    "plot_envelope",
+    "motor_voltages",
+    "animate_landing",
+    "draw_frame",
+]
