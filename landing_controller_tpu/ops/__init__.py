@@ -1,9 +1,12 @@
 """TPU compute kernels: structured KKT factorization (Riccati-style block
-sweeps, sequential and cyclic-reduction), branch-induced-sparsity tree
-factorizations, and, as profiling demands, Pallas kernels for the hot loops."""
+sweeps: sequential scan, cyclic-reduction, and the Pallas inverse-based
+cyclic reduction used on TPU), lane-batched Pallas block linear algebra,
+and branch-induced-sparsity tree factorizations."""
 
 from .block_tridiag import qd_block_tridiag_factor, qd_block_tridiag_solve
+from .cr_inverse import CRInvFactor, cri_factor, cri_solve
 from .cyclic_reduction import cr_factor, cr_solve
+from .pallas_blocks import chol_inverse, make_qd_inverse, qd_inverse, qd_inverse_ref
 from .branch_sparsity import (
     expand_lambda,
     ltdl,
@@ -21,6 +24,13 @@ __all__ = [
     "qd_block_tridiag_solve",
     "cr_factor",
     "cr_solve",
+    "CRInvFactor",
+    "cri_factor",
+    "cri_solve",
+    "chol_inverse",
+    "make_qd_inverse",
+    "qd_inverse",
+    "qd_inverse_ref",
     "expand_lambda",
     "ltdl",
     "ltl",

@@ -33,7 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.block_tridiag import qd_block_tridiag_factor, qd_block_tridiag_solve
+from ..ops.cr_inverse import cri_factor, cri_solve
 from ..ops.cyclic_reduction import cr_factor, cr_solve
+from ..ops.pallas_blocks import make_qd_inverse
 
 
 def _layout(problem):
@@ -271,6 +273,15 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
         if cfg.kkt_backend == "cr":
             factor_fn = lambda Amat, Cmat: cr_factor(Amat, Cmat, nw, nd)
             solve_fn = lambda fc, rhs: cr_solve(fc, rhs, nw, nd)
+        elif cfg.kkt_backend.startswith("cri"):
+            # inverse-based cyclic reduction: block inverses via the Pallas
+            # lane-batched kernel on TPU (jnp reference elsewhere); all sweep
+            # ops are batched matmuls.  "cri" auto-dispatches;
+            # "cri_pallas"/"cri_ref"/"cri_pallas_interpret" force a path.
+            force = cfg.kkt_backend[4:] or None
+            qdi = make_qd_inverse(nw, nd, force=force)
+            factor_fn = lambda Amat, Cmat: cri_factor(Amat, Cmat, qdi)
+            solve_fn = lambda fc, rhs: cri_solve(fc, rhs)
         else:
             factor_fn = lambda Amat, Cmat: qd_block_tridiag_factor(Amat, Cmat, nw, nd)
             solve_fn = lambda fc, rhs: qd_block_tridiag_solve(fc, rhs, nw, nd)
