@@ -79,6 +79,16 @@ class IPConfig:
     hybrid_mu_switch: float = 2e-3  # ... and below this barrier parameter
     y_max: float = 1e5  # equality-multiplier magnitude cap
     sigma_max: float = 1e8  # cap on lam/s entering the condensed Hessian
+    slack_floor: float = 1e-2  # s >= slack_floor * mu after every step: keeps
+    # the fraction-to-boundary step length bounded away from zero (a tiny
+    # slack with a large-negative ds otherwise collapses alpha_max for the
+    # whole iterate — the failure mode observed on warm restarts)
+    rescue_alpha: float = 1e-7  # slack-reset rescue: if the boundary rule
+    # caps the step below this, the barrier wall has been breached (tiny s,
+    # big |ds|); instead of taking a null step forever, re-center (s, lam)
+    # barrier-consistently at the current z and reset the filter — a
+    # branch-free, per-lane restoration-lite (IPOPT enters its restoration
+    # phase in the same situation)
     refine_steps: int = 1  # iterative refinement of the KKT solve
     # inertia-correction ladder: the candidate shifts factorized in parallel
     # each iteration.  0.0 -> the delta_w floor; s > 0 -> s * delta_last
@@ -430,11 +440,19 @@ def solve(
         # ---- fraction-to-boundary
         tau = jnp.maximum(cfg.tau_min, 1.0 - mu)
 
-        def max_step(v, dv):
+        def max_step(v, dv, pinned=None):
             ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            if pinned is not None:
+                # rows whose slack sits at the mu-floor don't gate the step:
+                # their positivity is enforced by the post-step floor clip.
+                # Without this, ONE active row with tiny s and large |ds|
+                # throttles every lane's alpha to ~s/|ds| and the solve
+                # creeps (the dominant warm-restart/cold-stall failure mode).
+                ratio = jnp.where(pinned, jnp.inf, ratio)
             return jnp.minimum(1.0, tau * jnp.min(ratio))
 
-        alpha_s = max_step(s, ds)
+        s_pinned = s <= 2.0 * cfg.slack_floor * mu
+        alpha_s = max_step(s, ds, pinned=s_pinned)
         alpha_lam = max_step(lam, dlam)
 
         # ---- filter line search (Waechter-Biegler 2006, the IPOPT
@@ -450,7 +468,9 @@ def solve(
 
         def eval_at(a):
             z_t = z + a * dz
-            s_t = s + a * ds
+            # same floor clip as the accepted step (pinned rows are excluded
+            # from the boundary rule, so s + a*ds can cross zero there)
+            s_t = jnp.maximum(s + a * ds, cfg.slack_floor * mu)
             E_t = eq_fn(z_t)
             g_t = ineq_mu(z_t)
             theta_t = jnp.sum(jnp.abs(E_t)) + jnp.sum(jnp.abs(g_t - s_t))
@@ -515,7 +535,7 @@ def solve(
         safe = lambda d: jnp.where(jnp.isfinite(d), d, 0.0)
         dz, ds, dlam, dy = safe(dz), safe(ds), safe(dlam), safe(dy)
         z_new = z + alpha * dz
-        s_new = s + alpha * ds
+        s_new = jnp.maximum(s + alpha * ds, cfg.slack_floor * mu)
         lam_new = jnp.clip(lam + alpha_lam * dlam, 1e-12, None)
         # IPOPT kappa_Sigma safeguard: keep lam within a band of mu/s so
         # sigma can never poison the condensed Hessian (IPOPT eq. (16)).
@@ -526,6 +546,27 @@ def solve(
         # (IPOPT alpha_for_y='bound-mult', the reference's tuned choice,
         # landing_optimization.m:342)
         y_new = jnp.clip(y + alpha_lam * dy, -cfg.y_max, cfg.y_max)
+
+        # ---- stall rescue: fraction-to-boundary collapse means the barrier
+        # wall was breached (slack pinned ~0 against a large-negative ds, a
+        # capped-sigma leak).  Re-center (s, lam) on the barrier manifold at
+        # the unchanged z and clear the filter; the next iteration sees the
+        # restored wall.  Null steps would otherwise repeat forever.
+        collapsed = step_finite & (alpha_s < cfg.rescue_alpha)
+        s_resc = jnp.maximum(
+            (g + jnp.sqrt(g * g + 4.0 * mu)) / 2.0, cfg.slack_floor * mu
+        )
+        lam_resc = jnp.clip(mu / s_resc, 1e-8, 1e3)
+        z_new = jnp.where(collapsed, z, z_new)
+        s_new = jnp.where(collapsed, s_resc, s_new)
+        lam_new = jnp.where(collapsed, lam_resc, lam_new)
+        y_new = jnp.where(collapsed, y, y_new)
+
+        # rescue also clears the filter (the old corners were recorded
+        # against now-reset slacks) and the carried inertia shift
+        filt_theta_new = jnp.where(collapsed, jnp.full_like(filt_theta_new, theta_max), filt_theta_new)
+        filt_phi_new = jnp.where(collapsed, jnp.full_like(filt_phi_new, -big), filt_phi_new)
+        filt_ptr_new = jnp.where(collapsed, 0, filt_ptr_new)
 
         # ---- barrier update
         if cfg.mu_strategy == "loqo":
