@@ -53,6 +53,12 @@ class LandingSolution(NamedTuple):
     kkt_error: jnp.ndarray
     constr_viol: jnp.ndarray
     cost: jnp.ndarray
+    # full warm-start state (unscaled; the reference persists lam_g_star
+    # alongside the primals, landing_optimization.m:395): inequality slacks,
+    # inequality multipliers, equality multipliers
+    s: jnp.ndarray
+    lam: jnp.ndarray
+    y: jnp.ndarray
 
 
 _PROBLEMS = {
@@ -129,9 +135,15 @@ class LandingSolver:
             )
         return theta
 
-    def _solve_impl(self, q_init, qd_init, z0=None):
+    def _solve_impl(self, q_init, qd_init, z0=None, warm=None):
+        """One solve.  z0: optional primal warm start (reference layout).
+        warm: optional (s, lam, y) in *unscaled* space (e.g. from a previous
+        LandingSolution) — the full warm-restart state.  With z0 but no
+        duals, slacks are still seeded from g(z0) (primal warm start; the
+        barrier-consistent cold init would perturb active rows)."""
         prob = self.problem
         theta = self.build_params(q_init, qd_init)
+        warm_primal = z0 is not None
         if z0 is None:
             z0 = initial_guess_from_reference(prob, theta)
         z0 = z0.astype(self.dtype)
@@ -147,12 +159,28 @@ class LandingSolver:
             from .solver.structured import make_structured_newton_step
 
             step_fn = make_structured_newton_step(prob, theta, self.config, snlp)
+        zs0 = snlp.to_scaled(z0)
+        s0 = lam0 = y0 = None
+        if warm is not None:
+            s_u, lam_u, y_u = warm
+            s0 = snlp.slacks_to_scaled(s_u.astype(self.dtype))
+            s0 = jnp.maximum(s0, 1e-12)
+            lam0, y0 = snlp.duals_to_scaled(
+                lam_u.astype(self.dtype), y_u.astype(self.dtype)
+            )
+            lam0 = jnp.maximum(lam0, 1e-10)
+        elif warm_primal:
+            g0 = snlp.ineq(zs0) + self.config.bound_relax_factor
+            s0 = jnp.maximum(g0, 1e-8)
         res = solve(
             snlp.cost,
             snlp.eq,
             snlp.ineq,
-            snlp.to_scaled(z0),
+            zs0,
             self.config,
+            s0=s0,
+            lam0=lam0,
+            y0=y0,
             relax_mask=self.problem.relax_mask().astype(self.dtype),
             newton_step_fn=step_fn,
         )
@@ -166,6 +194,7 @@ class LandingSolver:
             )(v.jpos, v.X[:-1], v.U)
         else:
             tau = jnp.zeros((prob.config.n_knots - 1, 12), self.dtype)
+        lam_u, y_u = snlp.duals_from_scaled(res.lam, res.y)
         return LandingSolution(
             X=v.X,
             jpos=v.jpos,
@@ -177,11 +206,19 @@ class LandingSolver:
             kkt_error=res.kkt_error,
             constr_viol=res.constr_viol,
             cost=res.cost,
+            s=snlp.slacks_from_scaled(res.s),
+            lam=lam_u,
+            y=y_u,
         )
 
-    def solve(self, q_init, qd_init, z0=None) -> LandingSolution:
-        """Solve one scenario (jit-cached after first call)."""
-        return self._solve_one(q_init, qd_init) if z0 is None else jax.jit(self._solve_impl)(q_init, qd_init, z0)
+    def solve(self, q_init, qd_init, z0=None, warm=None) -> LandingSolution:
+        """Solve one scenario (jit-cached after first call).
+
+        warm: optional (s, lam, y) unscaled warm-restart state, or a previous
+        LandingSolution (its state is extracted)."""
+        if isinstance(warm, LandingSolution):
+            warm = (warm.s, warm.lam, warm.y)
+        return self._solve_one(q_init, qd_init, z0, warm)
 
     def solve_batch(self, q_inits, qd_inits) -> LandingSolution:
         """Solve a batch of scenarios via vmap (leading axis = scenario)."""

@@ -179,13 +179,22 @@ class ResultLog:
         self._f.flush()
         return True
 
-    def append_solution(self, q_init, qd_init, z, converged: bool):
+    def append_solution(self, q_init, qd_init, z, converged: bool, lam=None, y=None):
+        """Append one solve record; optional inequality/equality multipliers
+        are persisted after the primal so warm restarts can reload the full
+        (z, lam, y) state (the reference saves lam_g_star alongside the
+        primals in prevSoln.mat, landing_optimization.m:395)."""
         meta = struct.pack("<I?3x", len(np.asarray(z)), bool(converged))
+        lam = np.zeros(0, np.float32) if lam is None else np.asarray(lam, np.float32)
+        y = np.zeros(0, np.float32) if y is None else np.asarray(y, np.float32)
         payload = (
             meta
             + np.asarray(q_init, np.float32).tobytes()
             + np.asarray(qd_init, np.float32).tobytes()
             + np.asarray(z, np.float32).tobytes()
+            + struct.pack("<II", lam.size, y.size)
+            + lam.tobytes()
+            + y.tobytes()
         )
         return self.append(payload)
 
@@ -218,13 +227,20 @@ def read_result_log(path: str):
         if zlib.crc32(payload) & 0xFFFFFFFF == crc:
             nz, conv = struct.unpack_from("<I?", payload, 0)
             arr = np.frombuffer(payload, np.float32, offset=8)
-            out.append(
-                {
-                    "q_init": arr[:6].copy(),
-                    "qd_init": arr[6:12].copy(),
-                    "z": arr[12 : 12 + nz].copy(),
-                    "converged": bool(conv),
-                }
-            )
+            rec = {
+                "q_init": arr[:6].copy(),
+                "qd_init": arr[6:12].copy(),
+                "z": arr[12 : 12 + nz].copy(),
+                "converged": bool(conv),
+            }
+            # optional trailing duals: [u32 n_lam][u32 n_y][lam][y]
+            dual_off = 8 + 4 * (12 + nz)
+            if len(payload) >= dual_off + 8:
+                n_lam, n_y = struct.unpack_from("<II", payload, dual_off)
+                duals = np.frombuffer(payload, np.float32, offset=dual_off + 8)
+                if duals.size >= n_lam + n_y:
+                    rec["lam"] = duals[:n_lam].copy()
+                    rec["y"] = duals[n_lam : n_lam + n_y].copy()
+            out.append(rec)
         off += 8 + ln + 4
     return out

@@ -38,6 +38,23 @@ class ScaledNLP(NamedTuple):
     def from_scaled(self, z_tilde):
         return z_tilde * self.z_scale
 
+    # multipliers transform with the row/objective scales: stationarity of
+    # L_s = s_f f + y_s'(S_e E) - lam_s'(S_g g - s) matches the unscaled
+    # problem when lam = lam_s * S_g / s_f, y = y_s * S_e / s_f; slacks are
+    # s = s_s / S_g.  These let warm starts survive re-scaling between solves
+    # (row scales are recomputed at each solve's z0).
+    def duals_from_scaled(self, lam_s, y_s):
+        return lam_s * self.ineq_scale / self.f_scale, y_s * self.eq_scale / self.f_scale
+
+    def duals_to_scaled(self, lam, y):
+        return lam * self.f_scale / self.ineq_scale, y * self.f_scale / self.eq_scale
+
+    def slacks_from_scaled(self, s_s):
+        return s_s / self.ineq_scale
+
+    def slacks_to_scaled(self, s):
+        return s * self.ineq_scale
+
 
 def scale_problem(cost_fn, eq_fn, ineq_fn, z0, z_scale=None, g_max: float = 50.0) -> ScaledNLP:
     """Build a scaled NLP triple (IPOPT 'gradient-based' scaling analogue).

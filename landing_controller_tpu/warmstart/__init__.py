@@ -1,7 +1,9 @@
-"""Warm-start layer: reference trajectories, scenario sampling, cascade, NN."""
+"""Warm-start layer: reference trajectories, scenario sampling, cascade,
+receding-horizon replanning, NN."""
 
 from . import nn
 
+from .replan import Replanner, ReplanState, warm_config
 from .reference import (
     ccc_params,
     contact_scheduled_params,
@@ -20,5 +22,8 @@ __all__ = [
     "contact_scheduled_params",
     "default_contact_schedule",
     "initial_guess_from_reference",
+    "Replanner",
+    "ReplanState",
+    "warm_config",
     "nn",
 ]
