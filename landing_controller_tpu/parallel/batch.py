@@ -30,6 +30,38 @@ def make_scenario_mesh(n_devices: int | None = None, axis: str = "scenario") -> 
     return Mesh(np.array(devices), (axis,))
 
 
+# jitted shard_map executables, keyed by (solve_one id, mesh, axis) so that
+# repeated chunked calls (parallel.montecarlo) hit the jit cache instead of
+# re-tracing a fresh closure every chunk
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_fn(solve_one, mesh: Mesh, axis: str):
+    key = (id(solve_one), mesh, axis)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+
+        def shard_fn(q, qd):
+            sols = jax.vmap(solve_one)(q, qd)
+            n_conv = jax.lax.psum(jnp.sum(sols.converged.astype(jnp.int32)), axis)
+            iter_sum = jax.lax.psum(jnp.sum(sols.iterations), axis)
+            return sols, {"n_converged": n_conv, "iterations_sum": iter_sum}
+
+        fn = jax.jit(
+            shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=(P(axis), P()),
+                check_rep=False,
+            )
+        )
+        # keep a strong ref to solve_one so id() stays unique while cached
+        _SHARDED_CACHE[key] = fn
+        _SHARDED_CACHE[(key, "owner")] = solve_one
+    return fn
+
+
 def solve_sharded(solve_one, q_inits, qd_inits, mesh: Mesh, axis: str = "scenario"):
     """Run `solve_one(q_init, qd_init) -> solution pytree` over a sharded batch.
 
@@ -38,21 +70,7 @@ def solve_sharded(solve_one, q_inits, qd_inits, mesh: Mesh, axis: str = "scenari
     dict of collective statistics (already psum-reduced across devices):
     total converged count, mean iterations.
     """
-
-    def shard_fn(q, qd):
-        sols = jax.vmap(solve_one)(q, qd)
-        n_conv = jax.lax.psum(jnp.sum(sols.converged.astype(jnp.int32)), axis)
-        iter_sum = jax.lax.psum(jnp.sum(sols.iterations), axis)
-        return sols, {"n_converged": n_conv, "iterations_sum": iter_sum}
-
-    fn = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P()),
-        check_rep=False,
-    )
-    return jax.jit(fn)(q_inits, qd_inits)
+    return _sharded_fn(solve_one, mesh, axis)(q_inits, qd_inits)
 
 
 def envelope_stats(X_batch, converged, mesh: Mesh | None = None, axis: str = "scenario"):
