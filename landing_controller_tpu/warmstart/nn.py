@@ -66,10 +66,17 @@ def _touchdown_align_inverse(f_leg, td_idx):
 
 
 def touchdown_indices(U):
-    """Per-leg first knot with f_z > 1 N (data_normalization.m:86), (4,)."""
+    """Per-leg first knot with f_z > 1 N (data_normalization.m:86), (4,).
+
+    A leg that never exceeds 1 N (flight-only) gets index N-1 = one past the
+    last GRF knot — the distinct "never landed" label (the reference's
+    `find(...,1)` returns empty there and the sample is handled separately;
+    argmax of an all-False row would silently claim touchdown at knot 0 and
+    misalign the leg's GRF history)."""
     fz = U[:, 14::3]  # (N-1, 4)
     hit = fz > 1.0
-    return jnp.argmax(hit, axis=0)  # 0 if never > 1 (matches find([],1) fallback-ish)
+    never = ~jnp.any(hit, axis=0)
+    return jnp.where(never, fz.shape[0], jnp.argmax(hit, axis=0))
 
 
 def compute_stats(inputs, X, U, jpos, mass) -> DataStats:
@@ -114,7 +121,9 @@ def denormalize_output(stats: DataStats, y):
     X_n = y[:nx].reshape(n, 12)
     U_n = y[nx : nx + nu].reshape(n - 1, 24)
     jpos_n = y[nx + nu : nx + nu + nj].reshape(n - 1, 12)
-    td = jnp.clip(jnp.round(y[nx + nu + nj :]), 0, n - 2).astype(jnp.int32)
+    # n-1 = the "never landed" label: the inverse shift then yields an
+    # all-zero GRF history for that leg
+    td = jnp.clip(jnp.round(y[nx + nu + nj :]), 0, n - 1).astype(jnp.int32)
 
     X = X_n * stats.std_X + stats.mean_X
     c = U_n[:, :12] * stats.std_c + stats.mean_c
