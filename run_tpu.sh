@@ -1,0 +1,42 @@
+#!/bin/bash
+# Retrying runner for TPU jobs through the flaky axon tunnel (dev tool).
+# The tunnel sometimes wedges at device acquisition (process sleeps on the
+# relay socket with ~0 CPU).  Heuristic: if the job produces no new output
+# AND accumulates <2s of CPU within the first WEDGE_S seconds, kill the
+# exact PID and retry (max 4 attempts).
+#
+# usage: run_tpu.sh <logfile> <cmd...>
+LOG="$1"; shift
+WEDGE_S=${WEDGE_S:-300}
+for attempt in 1 2 3 4; do
+  echo "[run_tpu] attempt $attempt: $*" >> "$LOG"
+  "$@" >> "$LOG" 2>&1 &
+  pid=$!
+  start=$(date +%s)
+  wedged=0
+  while kill -0 $pid 2>/dev/null; do
+    sleep 15
+    now=$(date +%s)
+    if (( now - start > WEDGE_S )); then
+      cpu=$(ps -o cputimes= -p $pid 2>/dev/null | tr -d ' ')
+      if [[ -n "$cpu" && "$cpu" -lt 3 ]]; then
+        echo "[run_tpu] wedge detected (cpu=${cpu}s after $((now-start))s); killing $pid" >> "$LOG"
+        kill $pid 2>/dev/null; sleep 2; kill -9 $pid 2>/dev/null
+        wedged=1
+        break
+      fi
+      # process is doing work; stop watching and just wait
+      wait $pid; rc=$?
+      echo "[run_tpu] rc=$rc" >> "$LOG"
+      exit $rc
+    fi
+  done
+  if [[ $wedged -eq 0 ]]; then
+    wait $pid 2>/dev/null; rc=$?
+    echo "[run_tpu] rc=$rc" >> "$LOG"
+    exit $rc
+  fi
+  sleep 20
+done
+echo "[run_tpu] giving up after 4 wedged attempts" >> "$LOG"
+exit 98
