@@ -293,6 +293,21 @@ class EEParamProblem:
         return r, rd, rdd, th, thd, thdd
 
     # ------------------------------------------------------------ residuals
+    def check_params(self, theta: EEParamParams) -> None:
+        """Guard the half-static horizon: the *static* config horizon fixes
+        the base-poly grid and collocation times (dt_base/dt_dyn multiples,
+        :356/:408) while the *runtime* theta.horizon drives the
+        duration-sum equality (:314).  If they disagree, dynamics would be
+        silently enforced on the wrong time grid — refuse instead.  Call
+        this host-side before jitting a solve with a custom theta."""
+        t = float(jax.device_get(theta.horizon))
+        if abs(t - self.config.horizon) > 1e-6:
+            raise ValueError(
+                f"theta.horizon={t} != static config.horizon="
+                f"{self.config.horizon}; rebuild the problem with "
+                f"EEParamConfig(horizon={t}) instead of overriding theta"
+            )
+
     def cost(self, z, theta: EEParamParams):
         return self.config.reg * jnp.sum(z * z)
 

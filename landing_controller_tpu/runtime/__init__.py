@@ -1,5 +1,7 @@
-"""Native (C++) host-side runtime: scenario pool, result log."""
+"""Host-side runtime: native (C++) scenario pool + result log, durable
+compiled-solver artifacts (persistent XLA cache + jax.export blobs)."""
 
+from .artifact import enable_persistent_cache, load_solver, save_solver
 from .native import (
     NativeScenarioPool,
     ResultLog,
@@ -14,4 +16,7 @@ __all__ = [
     "native_available",
     "read_result_log",
     "sample_scenarios_native",
+    "enable_persistent_cache",
+    "load_solver",
+    "save_solver",
 ]

@@ -1,0 +1,110 @@
+"""Durable compiled-solver artifacts — the ``.casadi``/``.so`` analogue.
+
+The reference's deployable unit is a serialized, parameterized solver
+function: CasADi C codegen -> gcc -> ``.so`` + a ``.casadi`` function file
+(generate_landingCtrller_IPOPT_warmstart.m:278-366), reloadable from any
+process.  Two TPU-native equivalents:
+
+1. **Persistent XLA compile cache** (`enable_persistent_cache`): every jit
+   of the solve graph is keyed by (HLO, flags, platform) and reused across
+   processes — the "gcc -O3, ~3 minutes" step happens once per
+   (problem shape, config), like the reference's one-time codegen.
+
+2. **Serialized exported solve** (`save_solver` / `load_solver`):
+   `jax.export` serializes the lowered StableHLO of the jitted solve for
+   given argument shapes into a self-contained byte blob; `load_solver`
+   rehydrates a callable in a fresh process with no tracing and no access
+   to the Python problem definition — the ``.casadi`` file analogue
+   (`Function.save` / `Function.load`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Wire the persistent XLA compile cache (idempotent).
+
+    Default location: $LANDING_CTRL_CACHE, else <repo>/.jax_cache next to
+    the package."""
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "LANDING_CTRL_CACHE",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                ".jax_cache",
+            ),
+        )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir
+
+
+MAGIC = b"LCTPU1\n"
+
+
+def save_solver(solver, path: str, batch: int | None = None) -> None:
+    """Serialize the solver's jitted solve for fixed shapes to `path`.
+
+    batch=None exports the single-scenario solve (q, qd) -> LandingSolution;
+    batch=B exports the vmapped batch solve for (B, 6) inputs.  The blob is
+    platform-specific (it embeds compiled-for platforms like the
+    reference's .so embeds the ISA)."""
+    from jax import export as jax_export
+
+    from ..api import LandingSolution
+
+    try:
+        jax_export.register_namedtuple_serialization(
+            LandingSolution, serialized_name="landing_controller_tpu.LandingSolution"
+        )
+    except ValueError:
+        pass  # already registered
+
+    if batch is None:
+        fn = jax.jit(lambda q, qd: solver._solve_impl(q, qd))
+        args = (
+            jax.ShapeDtypeStruct((6,), solver.dtype),
+            jax.ShapeDtypeStruct((6,), solver.dtype),
+        )
+    else:
+        fn = jax.jit(jax.vmap(lambda q, qd: solver._solve_impl(q, qd)))
+        args = (
+            jax.ShapeDtypeStruct((batch, 6), solver.dtype),
+            jax.ShapeDtypeStruct((batch, 6), solver.dtype),
+        )
+    exported = jax_export.export(fn)(*args)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(blob)
+
+
+def load_solver(path: str):
+    """Rehydrate a saved solve artifact: returns `fn(q, qd) -> pytree`.
+
+    Works in a process that never built the problem (no tracing; the
+    StableHLO is compiled directly)."""
+    from jax import export as jax_export
+
+    from ..api import LandingSolution
+
+    try:
+        jax_export.register_namedtuple_serialization(
+            LandingSolution, serialized_name="landing_controller_tpu.LandingSolution"
+        )
+    except ValueError:
+        pass
+
+    with open(path, "rb") as f:
+        head = f.read(len(MAGIC))
+        if head != MAGIC:
+            raise ValueError(f"{path} is not a landing-controller artifact")
+        blob = f.read()
+    exported = jax_export.deserialize(blob)
+    return jax.jit(exported.call)

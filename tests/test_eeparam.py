@@ -70,3 +70,15 @@ def test_eeparam_landing_solves_with_free_timing():
     assert abs(zT - 0.3) < 1e-3
     # stance normal forces are non-negative at nodes
     assert np.asarray(v.force[:, 1:, 2, [0, 2]]).min() >= -1e-6
+
+
+def test_horizon_consistency_guard():
+    """theta.horizon must match the static grid horizon (check_params)."""
+    import dataclasses as dc
+
+    prob = eeparam_problem()
+    theta = default_eeparam_params()
+    prob.check_params(theta)  # consistent: no raise
+    bad = dc.replace(theta, horizon=jnp.asarray(0.6, jnp.float32))
+    with pytest.raises(ValueError, match="horizon"):
+        prob.check_params(bad)

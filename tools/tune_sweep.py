@@ -75,6 +75,9 @@ CONFIGS = {
     "refsampler": dict(_sampler="reference"),
     "maxiter120": dict(max_iter=120),
     "base": dict(),
+    "b512": dict(_B=512),
+    "b128": dict(_B=128),
+    "lean": dict(ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4),
 }
 
 
