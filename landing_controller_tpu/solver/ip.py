@@ -89,6 +89,14 @@ class IPConfig:
     # barrier-consistently at the current z and reset the filter — a
     # branch-free, per-lane restoration-lite (IPOPT enters its restoration
     # phase in the same situation)
+    stall_window: int = 50  # windowed stall detector: every stall_window
+    # iterations, compare the best viol+kkt score against the previous
+    # window's snapshot; a lane that improved < 10% with an unchanged
+    # barrier parameter is declared FAILED and frozen.  In a vmapped solve
+    # the while_loop runs until every lane is done; without failure
+    # detection one hopeless lane pins the whole batch at max_iter (the
+    # dominant wall-time cost at <100% convergence).  0 disables.
+    stall_min_iter: int = 60  # never declare failure before this iteration
     refine_steps: int = 1  # iterative refinement of the KKT solve
     # inertia-correction ladder: the candidate shifts factorized in parallel
     # each iteration.  0.0 -> the delta_w floor; s > 0 -> s * delta_last
@@ -376,6 +384,9 @@ def solve(
         filt_ptr: jnp.ndarray  # next filter slot
         it: jnp.ndarray
         done: jnp.ndarray
+        best_score: jnp.ndarray  # best viol+kkt seen (stall detector)
+        snap_score: jnp.ndarray  # best score at the last window snapshot
+        snap_mu: jnp.ndarray  # mu at the last window snapshot
         kkt_hist: jnp.ndarray
         mu_hist: jnp.ndarray
         alpha_hist: jnp.ndarray
@@ -395,6 +406,9 @@ def solve(
         filt_ptr=jnp.asarray(0, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
+        best_score=big,
+        snap_score=big,
+        snap_mu=jnp.asarray(cfg.mu_init, dtype),
         kkt_hist=jnp.zeros(cfg.max_iter, dtype),
         mu_hist=jnp.zeros(cfg.max_iter, dtype),
         alpha_hist=jnp.zeros(cfg.max_iter, dtype),
@@ -596,8 +610,29 @@ def solve(
             filt_phi_new = jnp.where(mu_changed, jnp.full_like(filt_phi_new, -big), filt_phi_new)
             filt_ptr_new = jnp.where(mu_changed, 0, filt_ptr_new)
 
-        # freeze once converged
-        keep = st.done | converged
+        # ---- windowed stall detector (see IPConfig.stall_window): at each
+        # window boundary, a lane whose best viol+kkt score improved < 10%
+        # over the window while mu never moved has stalled inside a barrier
+        # stage (IPOPT's analogue: restoration failure) -> freeze as FAILED
+        score = viol + kkt_err0
+        best_new = jnp.minimum(st.best_score, score)
+        if cfg.stall_window > 0:
+            at_boundary = (st.it + 1) % cfg.stall_window == 0
+            stalled = (
+                at_boundary
+                & (best_new > 0.9 * st.snap_score)
+                & (mu_new == st.snap_mu)
+                & (st.it >= cfg.stall_min_iter)
+            )
+            snap_score_new = jnp.where(at_boundary, best_new, st.snap_score)
+            snap_mu_new = jnp.where(at_boundary, mu_new, st.snap_mu)
+        else:
+            stalled = jnp.asarray(False)
+            snap_score_new = st.snap_score
+            snap_mu_new = st.snap_mu
+
+        # freeze once converged (or hopeless)
+        keep = st.done | converged | stalled
         upd = lambda new, old: jnp.where(keep, old, new)
         st_new = State(
             z=upd(z_new, z),
@@ -611,6 +646,9 @@ def solve(
             filt_ptr=jnp.where(keep, st.filt_ptr, filt_ptr_new),
             it=st.it + 1,
             done=keep,
+            best_score=best_new,
+            snap_score=jnp.where(keep, st.snap_score, snap_score_new),
+            snap_mu=jnp.where(keep, st.snap_mu, snap_mu_new),
             kkt_hist=st.kkt_hist.at[st.it].set(kkt_err0),
             mu_hist=st.mu_hist.at[st.it].set(mu),
             alpha_hist=st.alpha_hist.at[st.it].set(jnp.where(keep, 0.0, alpha)),

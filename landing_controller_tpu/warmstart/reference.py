@@ -281,6 +281,91 @@ def sample_drop_scenario(key, dtype=jnp.float32):
     return q_init, qd_init
 
 
+def ballistic_guess(problem, theta: LandingParams):
+    """Physics-informed cold-start guess.
+
+    The reference's linspace guess (landing_optimization.m:263-266)
+    decelerates from knot 0 — dynamically impossible pre-contact, and the
+    dominant cold-start failure source for fast/steep drops.  This guess
+    instead integrates the actual flight phase and schedules contact:
+
+    - base position/velocity follow the ballistic arc r(t) = r0 + v0 t +
+      g t^2 / 2 until the CoM reaches stance height, then blend linearly to
+      the terminal reference with velocity decaying to zero;
+    - Euler angles integrate the initial rates during flight and decay to
+      level after touchdown;
+    - feet track under the hips (rotated by attitude, clamped to the
+      ground) during flight and freeze at their touchdown placement;
+    - GRFs are zero in flight; in stance each leg carries the weight plus
+      the impulse needed to stop v_z over the remaining stance time.
+
+    Everything is branch-free (masks over knots), so it jits and vmaps.
+    """
+    from ..problems.landing import LandingVars
+
+    n = problem.config.n_knots
+    dtype = theta.x_ref.dtype
+    g = jnp.asarray(-9.81, dtype)
+    dt = theta.dt
+    t_knot = jnp.concatenate([jnp.zeros(1, dtype), jnp.cumsum(dt)])  # (n,)
+
+    q0, qd0 = theta.q_init, theta.qd_init
+    z_stand = jnp.asarray(0.275, dtype)
+
+    # ballistic CoM: z(t) = z0 + vz t + g t^2/2; touchdown when z hits stance
+    z_b = q0[2] + qd0[5] * t_knot + 0.5 * g * t_knot**2
+    vz_b = qd0[5] + g * t_knot
+    in_flight = z_b > z_stand  # (n,) mask
+    # touchdown time: first knot out of flight (>= 1 by construction of ICs)
+    t_td = jnp.max(jnp.where(in_flight, t_knot, 0.0))
+    t_end = t_knot[-1]
+    # stance blend factor: 0 at touchdown -> 1 at horizon end
+    wb = jnp.clip((t_knot - t_td) / jnp.maximum(t_end - t_td, 1e-3), 0.0, 1.0)
+
+    # position: ballistic xy throughout flight, frozen after touchdown;
+    # z ballistic in flight, blending to stand height in stance
+    xy_b = q0[None, 0:2] + qd0[None, 3:5] * jnp.minimum(t_knot, t_td)[:, None]
+    z_traj = jnp.where(in_flight, z_b, z_stand + (z_b * 0.0))
+    # attitude: integrate omega (approx: rates = omega) in flight, decay after
+    rpy_b = q0[None, 3:6] + qd0[None, 0:3] * jnp.minimum(t_knot, t_td)[:, None]
+    rpy_traj = rpy_b * (1.0 - wb[:, None])
+    # velocities: ballistic then decay to zero
+    v_xy = jnp.where(in_flight[:, None], qd0[None, 3:5], qd0[None, 3:5] * (1 - wb[:, None]))
+    v_z = jnp.where(in_flight, vz_b, vz_b * 0.0 + jnp.minimum(vz_b, 0.0) * (1 - wb))
+    omega = jnp.where(in_flight[:, None], qd0[None, 0:3], qd0[None, 0:3] * (1 - wb[:, None]))
+
+    X = jnp.concatenate(
+        [xy_b, z_traj[:, None], rpy_traj, omega, v_xy, v_z[:, None]], axis=1
+    )
+
+    # feet: under the rotated hips, z clamped to ground; freeze after t_td
+    R = rpy_to_rot_xyz(rpy_traj[:-1])  # (n-1, 3, 3)
+    hips = jnp.asarray(HIP_SRBM, dtype)  # (4, 3)
+    feet = X[:-1, None, 0:3] + jnp.einsum("kij,lj->kli", R, hips)  # (n-1,4,3)
+    feet = feet.at[:, :, 2].set(0.0)
+    # freeze foot xy at touchdown placement (index of last flight knot)
+    stance_k = jnp.sum(in_flight[:-1].astype(jnp.int32))  # first stance knot
+    k_idx = jnp.arange(n - 1)
+    td_feet = feet[jnp.minimum(stance_k, n - 2)]
+    feet = jnp.where((k_idx >= stance_k)[:, None, None], td_feet[None], feet)
+
+    # GRFs: zero in flight; in stance, weight + stopping impulse per leg
+    t_stop = jnp.maximum(t_end - t_td, 0.1)
+    vz_td = qd0[5] + g * t_td
+    fz_stance = theta.mass * (9.81 - vz_td / t_stop) / 4.0
+    fz = jnp.where(in_flight[:-1], 0.0, jnp.clip(fz_stance, 1.0, theta.f_max))
+    grf = jnp.zeros((n - 1, 4, 3), dtype).at[:, :, 2].set(fz[:, None])
+
+    U = jnp.concatenate([feet.reshape(n - 1, 12), grf.reshape(n - 1, 12)], axis=1)
+
+    if problem.config.kinodynamic:
+        q_leg_home = jnp.asarray(np.tile([0.0, -0.8, 1.6], 4), dtype)
+        jpos = jnp.tile(q_leg_home, (n - 1, 1))
+    else:
+        jpos = jnp.zeros((n - 1, 0), dtype)
+    return problem.pack(LandingVars(X=X, jpos=jpos, U=U))
+
+
 def initial_guess_from_reference(problem, theta: LandingParams):
     """Cold-start initial guess z0 = [Xref(:); (IK jpos); Uref(:)].
 

@@ -75,6 +75,9 @@ CONFIGS = {
     "refsampler": dict(_sampler="reference"),
     "maxiter120": dict(max_iter=120),
     "base": dict(),
+    "lean_b256": dict(_B=256, ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4),
+    "lean_ref": dict(_sampler="reference", ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4),
+    "lean_mi150": dict(max_iter=150, ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4),
     "b512": dict(_B=512),
     "b128": dict(_B=128),
     "lean": dict(ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4),
