@@ -97,6 +97,9 @@ class IPConfig:
     # detection one hopeless lane pins the whole batch at max_iter (the
     # dominant wall-time cost at <100% convergence).  0 disables.
     stall_min_iter: int = 60  # never declare failure before this iteration
+    stall_grace: float = 50.0  # never stall-kill a lane whose best score is
+    # within stall_grace * tol: slow endgame creep (degenerate LCP duals
+    # converge a few %/window) is progress, not hopelessness
     refine_steps: int = 1  # iterative refinement of the KKT solve
     # inertia-correction ladder: the candidate shifts factorized in parallel
     # each iteration.  0.0 -> the delta_w floor; s > 0 -> s * delta_last
@@ -111,6 +114,13 @@ class IPConfig:
     # factor/update per level; the TPU-friendly choice)
     relax_scale: float = 0.0  # mu-proportional relaxation of marked rows
     # (MPCC homotopy: g_eff = g + relax_scale*mu*mask; exact as mu -> floor)
+    alpha_for_y: str = "bound-mult"  # equality-multiplier step size:
+    # "bound-mult" (IPOPT alpha_for_y='bound-mult', the reference's tuned
+    # choice, landing_optimization.m:342) or "primal" (IPOPT default).
+    # bound-mult creeps on degenerate-LCP endgames: alpha_lam collapses to
+    # ~5e-3 on active complementarity rows and y inherits it, so the dual
+    # residual decays at (1-alpha_lam)/iter.  primal lets y move with the
+    # accepted primal step.
     bound_relax_factor: float = 1e-6  # constant relaxation of ALL inequality
     # rows (IPOPT bound_relax_factor, the reference's tuned value,
     # landing_optimization.m:333): restores a strict interior for pinched
@@ -556,10 +566,9 @@ def solve(
         lam_new = jnp.clip(
             lam_new, mu / (cfg.kappa_sigma * s_new), cfg.kappa_sigma * mu / s_new
         )
-        # equality multipliers step with the bound-multiplier step size
-        # (IPOPT alpha_for_y='bound-mult', the reference's tuned choice,
-        # landing_optimization.m:342)
-        y_new = jnp.clip(y + alpha_lam * dy, -cfg.y_max, cfg.y_max)
+        # equality-multiplier step size: see IPConfig.alpha_for_y
+        alpha_y = alpha_lam if cfg.alpha_for_y == "bound-mult" else alpha
+        y_new = jnp.clip(y + alpha_y * dy, -cfg.y_max, cfg.y_max)
 
         # ---- stall rescue: fraction-to-boundary collapse means the barrier
         # wall was breached (slack pinned ~0 against a large-negative ds, a
@@ -621,6 +630,7 @@ def solve(
             stalled = (
                 at_boundary
                 & (best_new > 0.9 * st.snap_score)
+                & (best_new > cfg.stall_grace * cfg.tol)
                 & (mu_new == st.snap_mu)
                 & (st.it >= cfg.stall_min_iter)
             )
