@@ -211,6 +211,58 @@ class LandingSolver:
             y=y_u,
         )
 
+    def _segment_impl(self, q_init, qd_init, state, segment_iters: int):
+        """Run at most `segment_iters` further IP iterations from a carried
+        IPState (streaming mode; parallel/stream.py).  `state=None`
+        (via segment_iters=0 from `_init_state_impl`) initializes.
+
+        Scaling note: row/variable scales are recomputed from the cold-start
+        guess z0(q, qd) — a pure function of the scenario — so every segment
+        of one scenario sees the identical scaled problem.
+        """
+        prob = self.problem
+        theta = self.build_params(q_init, qd_init)
+        z0 = initial_guess_from_reference(prob, theta).astype(self.dtype)
+        snlp = scale_problem(
+            partial(prob.cost, theta=theta),
+            partial(prob.eq, theta=theta),
+            partial(prob.ineq, theta=theta),
+            z0,
+            z_scale=self._z_scale.astype(self.dtype),
+        )
+        step_fn = None
+        if self.structured:
+            from .solver.structured import make_structured_newton_step
+
+            step_fn = make_structured_newton_step(prob, theta, self.config, snlp)
+        res, new_state = solve(
+            snlp.cost,
+            snlp.eq,
+            snlp.ineq,
+            snlp.to_scaled(z0),
+            self.config,
+            relax_mask=self.problem.relax_mask().astype(self.dtype),
+            newton_step_fn=step_fn,
+            state0=state,
+            segment_iters=segment_iters,
+            return_state=True,
+        )
+        z = snlp.from_scaled(res.z)
+        summary = {
+            "z": z,
+            "converged": res.converged,
+            "done": new_state.done,
+            "iterations": res.iterations,
+            "kkt_error": res.kkt_error,
+            "constr_viol": res.constr_viol,
+            "cost": res.cost,
+        }
+        return summary, new_state
+
+    def init_state(self, q_init, qd_init):
+        """Fresh IPState for (q, qd) without stepping (streaming mode)."""
+        return self._segment_impl(q_init, qd_init, None, 0)[1]
+
     def solve(self, q_init, qd_init, z0=None, warm=None) -> LandingSolution:
         """Solve one scenario (jit-cached after first call).
 

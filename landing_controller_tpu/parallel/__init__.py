@@ -2,6 +2,7 @@
 
 from .batch import envelope_stats, make_scenario_mesh, solve_sharded
 from .multihost import global_scenario_batch, local_shards, replicated_value
+from .stream import StreamingSolver
 
 __all__ = [
     "make_scenario_mesh",
@@ -10,4 +11,5 @@ __all__ = [
     "global_scenario_batch",
     "local_shards",
     "replicated_value",
+    "StreamingSolver",
 ]

@@ -1,5 +1,5 @@
 """Batched NLP solver: primal-dual interior point, vmap/jit-compatible."""
 
-from .ip import IPConfig, IPResult, solve, solve_batch
+from .ip import IPConfig, IPResult, IPState, solve, solve_batch
 
-__all__ = ["IPConfig", "IPResult", "solve", "solve_batch"]
+__all__ = ["IPConfig", "IPResult", "IPState", "solve", "solve_batch"]

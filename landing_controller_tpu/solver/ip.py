@@ -144,6 +144,29 @@ class IPResult(NamedTuple):
     alpha_history: jnp.ndarray
 
 
+class IPState(NamedTuple):
+    """Full resumable solver state (streaming/segmented solves carry this
+    between jitted segments; see solve(..., state0, segment_iters))."""
+
+    z: jnp.ndarray
+    s: jnp.ndarray
+    lam: jnp.ndarray
+    y: jnp.ndarray
+    mu: jnp.ndarray
+    delta: jnp.ndarray  # adaptive inertia-correction regularization
+    filt_theta: jnp.ndarray  # filter corners (constraint violation)
+    filt_phi: jnp.ndarray  # filter corners (barrier objective)
+    filt_ptr: jnp.ndarray  # next filter slot
+    it: jnp.ndarray
+    done: jnp.ndarray
+    best_score: jnp.ndarray  # best viol+kkt seen (stall detector)
+    snap_score: jnp.ndarray  # best score at the last window snapshot
+    snap_mu: jnp.ndarray  # mu at the last window snapshot
+    kkt_hist: jnp.ndarray
+    mu_hist: jnp.ndarray
+    alpha_hist: jnp.ndarray
+
+
 def _kkt_error_rd(r_d, E, g, s, lam, y, mu):
     """Scaled KKT error from a precomputed dual residual r_d."""
     m = s.shape[0] + y.shape[0]
@@ -266,7 +289,10 @@ def solve(
     s0: jnp.ndarray | None = None,
     relax_mask: jnp.ndarray | None = None,
     newton_step_fn=None,
-) -> IPResult:
+    state0: "IPState | None" = None,
+    segment_iters: int | None = None,
+    return_state: bool = False,
+):
     """Solve one NLP instance.  cost/eq/ineq are closures over theta.
 
     Warm start: pass (y0, lam0, s0) from a previous solve; primal warm start
@@ -279,6 +305,11 @@ def solve(
     during the early barrier stages (Scholtes-style MPCC regularization tied
     to the barrier schedule); the relaxation vanishes as mu reaches its
     floor, so converged iterates satisfy the original constraints.
+
+    Segmented (streaming) mode: pass state0 (from a previous call with
+    return_state=True) to resume, and segment_iters=K to run at most K
+    further iterations (segment_iters=0 with return_state just initializes).
+    The iteration histories are ring buffers indexed it % max_iter.
     """
     cfg = config
     dtype = z0.dtype
@@ -382,29 +413,10 @@ def solve(
     else:
         y_init = y0
 
-    class State(NamedTuple):
-        z: jnp.ndarray
-        s: jnp.ndarray
-        lam: jnp.ndarray
-        y: jnp.ndarray
-        mu: jnp.ndarray
-        delta: jnp.ndarray  # adaptive inertia-correction regularization
-        filt_theta: jnp.ndarray  # filter corners (constraint violation)
-        filt_phi: jnp.ndarray  # filter corners (barrier objective)
-        filt_ptr: jnp.ndarray  # next filter slot
-        it: jnp.ndarray
-        done: jnp.ndarray
-        best_score: jnp.ndarray  # best viol+kkt seen (stall detector)
-        snap_score: jnp.ndarray  # best score at the last window snapshot
-        snap_mu: jnp.ndarray  # mu at the last window snapshot
-        kkt_hist: jnp.ndarray
-        mu_hist: jnp.ndarray
-        alpha_hist: jnp.ndarray
-
     theta_0 = jnp.sum(jnp.abs(eq_fn(z0))) + jnp.sum(jnp.abs(ineq_fn(z0) - s_init))
     theta_max = cfg.theta_max_fac * jnp.maximum(1.0, theta_0)
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
-    init = State(
+    init = IPState(
         z=z0,
         s=s_init,
         lam=lam_init,
@@ -424,10 +436,18 @@ def solve(
         alpha_hist=jnp.zeros(cfg.max_iter, dtype),
     )
 
-    def cond(st: State):
-        return (st.it < cfg.max_iter) & (~st.done)
+    if state0 is not None:
+        init = state0
+    if segment_iters is None:
+        it_stop = jnp.asarray(cfg.max_iter, jnp.int32)
+    else:
+        it_stop = init.it + jnp.asarray(segment_iters, jnp.int32)
+        it_stop = jnp.minimum(it_stop, cfg.max_iter)
 
-    def body(st: State):
+    def cond(st: IPState):
+        return (st.it < it_stop) & (~st.done)
+
+    def body(st: IPState):
         z, s, lam, y, mu = st.z, st.s, st.lam, st.y, st.mu
         ineq_mu = make_ineq(mu)
 
@@ -644,7 +664,7 @@ def solve(
         # freeze once converged (or hopeless)
         keep = st.done | converged | stalled
         upd = lambda new, old: jnp.where(keep, old, new)
-        st_new = State(
+        st_new = IPState(
             z=upd(z_new, z),
             s=upd(s_new, s),
             lam=upd(lam_new, lam),
@@ -659,9 +679,9 @@ def solve(
             best_score=best_new,
             snap_score=jnp.where(keep, st.snap_score, snap_score_new),
             snap_mu=jnp.where(keep, st.snap_mu, snap_mu_new),
-            kkt_hist=st.kkt_hist.at[st.it].set(kkt_err0),
-            mu_hist=st.mu_hist.at[st.it].set(mu),
-            alpha_hist=st.alpha_hist.at[st.it].set(jnp.where(keep, 0.0, alpha)),
+            kkt_hist=st.kkt_hist.at[st.it % cfg.max_iter].set(kkt_err0),
+            mu_hist=st.mu_hist.at[st.it % cfg.max_iter].set(mu),
+            alpha_hist=st.alpha_hist.at[st.it % cfg.max_iter].set(jnp.where(keep, 0.0, alpha)),
         )
         return st_new
 
@@ -679,7 +699,7 @@ def solve(
         kkt_err0, _ = _kkt_error_rd(r_d, E, g, s, lam, y, 0.0)
     viol = jnp.maximum(jnp.max(jnp.abs(E)), jnp.max(jnp.maximum(-g, 0.0)))
     converged = (kkt_err0 <= cfg.tol) & (viol <= cfg.constr_viol_tol)
-    return IPResult(
+    result = IPResult(
         z=z,
         s=s,
         lam=lam,
@@ -693,6 +713,11 @@ def solve(
         mu_history=final.mu_hist,
         alpha_history=final.alpha_hist,
     )
+    if return_state:
+        # a converged/stalled lane must stay frozen across future segments
+        final = final._replace(done=final.done | converged)
+        return result, final
+    return result
 
 
 def solve_batch(cost_fn, eq_fn, ineq_fn, z0_batch, config: IPConfig = IPConfig(), theta_axes=None):

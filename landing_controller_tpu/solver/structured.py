@@ -182,7 +182,11 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
 
         M = jax.vmap(knot_JM)(vk, v_scale, gsc, ns_masks, sig_k, theta.dt)
 
-        # Lagrangian stage Hessians
+        # Lagrangian stage Hessians.  The exact Hessian (forward-over-
+        # reverse through the full stage Lagrangian) is the expensive part
+        # of the assembly; branch at TRACE time on hessian_mode so "gn"
+        # never pays for it and "exact" never computes the GN fallback —
+        # only "hybrid" carries both (jnp.where evaluates both branches).
         def knot_hess(v, vs, gs, m, lm, yk, esc, x_ref_k, u_ref_k, dt_k):
             def lag_exact(vv):
                 return (
@@ -194,12 +198,16 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
             def lag_gn(vv):
                 return stage_cost_s(vv[:nw], vs[:nw], x_ref_k, u_ref_k, dt_k)
 
-            if pcfg.running_cost:
-                Hg = jax.hessian(lag_gn)(v)
-            else:
-                Hg = jnp.zeros((v.shape[0], v.shape[0]), v.dtype)
-            He = jax.hessian(lag_exact)(v)
-            return jnp.where(use_exact, He, Hg)
+            def gn_hess():
+                if pcfg.running_cost:
+                    return jax.hessian(lag_gn)(v)
+                return jnp.zeros((v.shape[0], v.shape[0]), v.dtype)
+
+            if cfg.hessian_mode == "gn":
+                return gn_hess()
+            if cfg.hessian_mode == "exact":
+                return jax.hessian(lag_exact)(v)
+            return jnp.where(use_exact, jax.hessian(lag_exact)(v), gn_hess())
 
         Hk = jax.vmap(knot_hess)(
             vk, v_scale, gsc, ns_masks, lam_k, y_dyn, esc_dyn,

@@ -232,3 +232,30 @@ def nn_warmstart_guess(params: MLPParams, stats: DataStats, q_init, qd_init, pro
     # re-anchor the initial state to the queried IC
     X = X.at[0].set(jnp.concatenate([q_init, qd_init]))
     return problem.pack(LandingVars(X=X, jpos=jpos, U=U))
+
+
+# ------------------------------------------------------- persistence
+def save_warmstart(path: str, params: MLPParams, stats: DataStats) -> None:
+    """Persist trained weights + normalization stats as one .npz — the
+    analogue of the reference's committed nn_TO_landing.onnx +
+    data_stats.mat pair."""
+    arrs = {}
+    for i, (w, b) in enumerate(zip(params.weights, params.biases)):
+        arrs[f"w{i}"] = np.asarray(w)
+        arrs[f"b{i}"] = np.asarray(b)
+    arrs["n_layers"] = np.asarray(len(params.weights))
+    for name in DataStats._fields:
+        arrs[f"stats_{name}"] = np.asarray(getattr(stats, name))
+    np.savez_compressed(path, **arrs)
+
+
+def load_warmstart(path: str, dtype=jnp.float32):
+    """Load (MLPParams, DataStats) saved by save_warmstart."""
+    d = np.load(path)
+    n_layers = int(d["n_layers"])
+    ws = tuple(jnp.asarray(d[f"w{i}"], dtype) for i in range(n_layers))
+    bs = tuple(jnp.asarray(d[f"b{i}"], dtype) for i in range(n_layers))
+    stats = DataStats(
+        **{name: jnp.asarray(d[f"stats_{name}"], dtype) for name in DataStats._fields}
+    )
+    return MLPParams(weights=ws, biases=bs), stats

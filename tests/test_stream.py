@@ -1,0 +1,78 @@
+"""Streaming (segmented) solver: state-carry correctness + throughput driver.
+
+The segmented mode must be a pure re-chunking of the monolithic solve: the
+same scenario stepped in K-iteration segments reaches the same solution in
+the same number of iterations (solver.ip.solve state0/segment_iters).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from landing_controller_tpu.api import LandingSolver
+from landing_controller_tpu.parallel import StreamingSolver
+from landing_controller_tpu.solver import IPConfig
+
+
+def _solver():
+    return LandingSolver(
+        "srbm_lcp", n_knots=21, dtype=jnp.float32, structured=True,
+        config=IPConfig(max_iter=200, hessian_mode="hybrid", mu_min=1e-5,
+                        tol=2e-4, sigma_max=1e5, refine_steps=1,
+                        relax_scale=1.0, delta_c=1e-6, kkt_backend="cri",
+                        ladder_scales=(0.0, 1.0), n_linesearch=4),
+    )
+
+
+@pytest.mark.slow
+def test_segmented_equals_monolithic():
+    s = _solver()
+    q0 = jnp.asarray([0.0, 0.0, 0.62, 0.05, 0.1, -0.02], jnp.float32)
+    qd0 = jnp.asarray([0.1, -0.1, 0.05, 0.1, -0.1, -1.2], jnp.float32)
+    ref = s.solve(q0, qd0)
+
+    seg = jax.jit(lambda st: s._segment_impl(q0, qd0, st, 40))
+    st = s.init_state(q0, qd0)
+    for _ in range(5):
+        summary, st = seg(st)
+        if bool(summary["done"]):
+            break
+    # f32 + different XLA compilations diverge chaotically over ~100
+    # Newton iterations (observed also shard_map-vs-vmap), so the honest
+    # equivalence is semantic: both converge, the segmented solution is
+    # independently feasible, and the costs agree.
+    assert bool(summary["converged"]) and bool(ref.converged)
+    theta = s.build_params(q0, qd0)
+    prob = s.problem
+    z = jnp.asarray(summary["z"])
+    E = prob.eq(z, theta)
+    g = prob.ineq(z, theta)
+    viol = float(jnp.maximum(jnp.max(jnp.abs(E)), jnp.max(jnp.maximum(-g, 0.0))))
+    assert viol <= 1e-3, viol
+    c_seg, c_ref = float(summary["cost"]), float(ref.cost)
+    assert abs(c_seg - c_ref) <= 1e-2 * (1.0 + abs(c_ref)), (c_seg, c_ref)
+
+
+@pytest.mark.slow
+def test_streaming_throughput_accounting():
+    s = _solver()
+
+    def gentle_sampler(n, _box=[np.random.default_rng(7)]):
+        rng = _box[0]
+        q = np.column_stack([
+            np.zeros((n, 2)), np.full(n, 0.62),
+            rng.uniform(-0.1, 0.1, (n, 2)), rng.uniform(-0.05, 0.05, n),
+        ]).astype(np.float32)
+        qd = np.column_stack([
+            rng.uniform(-0.2, 0.2, (n, 5)), -rng.uniform(0.8, 1.5, n),
+        ]).astype(np.float32)
+        return q, qd
+
+    ss = StreamingSolver(s, batch=4, segment=50, sampler=gentle_sampler)
+    stats = ss.run(10)
+    assert stats["n_finished"] == 10
+    assert stats["n_started"] == 10
+    assert stats["converged_mask"].shape == (10,)
+    assert stats["ics"].shape == (10, 12)
+    assert stats["n_converged"] >= 7, stats

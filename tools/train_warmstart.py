@@ -1,0 +1,105 @@
+"""End-to-end NN warm-start training + benchmark driver.
+
+1. generate >= N_SAMPLES converged kinodynamic solutions via the batched
+   SRBM->IK->kino cascade (data/factory.py; the reference's
+   generate_training_data_automated.m flow with the convergence mask
+   replacing the human gate);
+2. fit normalization stats + train the 9->256^3->976 MLP (warmstart/nn.py;
+   the reference trains externally in PyTorch and ships
+   nn_TO_landing.onnx + data_stats.mat);
+3. save weights+stats to landing_controller_tpu/data/nn_TO_landing.npz
+   (the committed artifact);
+4. run the 4-regime timing comparison (nn_warmstart.m:32-235) on fresh
+   scenarios and print the table + write JSON.
+
+Usage: python tools/train_warmstart.py [n_samples] [batch]
+Intended to run on TPU (cold compile ~minutes; persistent cache wired).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from landing_controller_tpu.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from landing_controller_tpu.api import LandingSolver
+    from landing_controller_tpu.analysis.warmstart_bench import warmstart_comparison
+    from landing_controller_tpu.data.factory import generate_training_data
+    from landing_controller_tpu.solver import IPConfig
+    from landing_controller_tpu.warmstart import nn as wsnn
+    from landing_controller_tpu.warmstart.cascade import make_cascade
+    from landing_controller_tpu.warmstart.reference import sample_drop_scenario
+
+    n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+
+    def mk_cfg(max_iter):
+        return IPConfig(
+            max_iter=max_iter, hessian_mode="hybrid", mu_min=1e-5, tol=2e-4,
+            sigma_max=1e5, refine_steps=3, relax_scale=1.0, delta_c=1e-6,
+            kkt_backend="cri",
+        )
+
+    srbm = LandingSolver("srbm_lcp", dtype=jnp.float32, structured=True, config=mk_cfg(200))
+    kino = LandingSolver("kinodynamic", dtype=jnp.float32, structured=True, config=mk_cfg(200))
+    cascade = make_cascade(srbm, kino)
+
+    t0 = time.time()
+    data = generate_training_data(cascade, n_samples, batch_size=batch)
+    m = data["inputs"].shape[0]
+    print(f"[data] {m}/{n_samples} converged samples in {time.time()-t0:.0f}s", flush=True)
+    np.savez_compressed("/tmp/training_data_landing.npz", **data)
+
+    # ---- normalize + train
+    stats = wsnn.compute_stats(
+        jnp.asarray(data["inputs"]), jnp.asarray(data["X"]),
+        jnp.asarray(data["U"]), jnp.asarray(data["jpos"]),
+        float(kino.build_params(jnp.zeros(6), jnp.zeros(6)).mass),
+    )
+    xin_n, targets = jax.vmap(lambda x, X, U, J: wsnn.normalize_sample(stats, x, X, U, J))(
+        jnp.asarray(data["inputs"]), jnp.asarray(data["X"]),
+        jnp.asarray(data["U"]), jnp.asarray(data["jpos"]),
+    )
+    t0 = time.time()
+    params, losses = wsnn.train_mlp(xin_n, targets, epochs=400)
+    print(f"[train] {len(losses)} epochs in {time.time()-t0:.0f}s; "
+          f"loss {losses[0]:.4f} -> {losses[-1]:.5f}", flush=True)
+
+    out = os.path.join(REPO, "landing_controller_tpu", "data", "nn_TO_landing.npz")
+    wsnn.save_warmstart(out, params, stats)
+    print(f"[save] {out} ({os.path.getsize(out)//1024} KB)", flush=True)
+
+    # ---- 4-regime comparison on fresh scenarios
+    n_trials, B = 5, 64
+    keys = jax.random.split(jax.random.PRNGKey(999), n_trials * B)
+    q0s, qd0s = jax.vmap(sample_drop_scenario)(keys)
+    q0s = q0s.reshape(n_trials, B, 6)
+    qd0s = qd0s.reshape(n_trials, B, 6)
+    res = warmstart_comparison(kino, srbm, params, stats, q0s, qd0s, n_trials=n_trials)
+    table = {
+        k: {"mean_s": float(np.mean(v)), "min_s": float(np.min(v))}
+        for k, v in res["t"].items()
+    }
+    for k, v in res["convergence"].items():
+        table[k]["convergence"] = float(np.mean(v))
+    print(json.dumps({"batch": B, "regimes": table}, indent=1), flush=True)
+    with open(os.path.join(REPO, "landing_controller_tpu", "data", "warmstart_bench.json"), "w") as f:
+        json.dump({"batch": B, "n_trials": n_trials, "regimes": table,
+                   "n_training_samples": m, "final_loss": losses[-1]}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

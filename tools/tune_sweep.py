@@ -75,6 +75,10 @@ CONFIGS = {
     "refsampler": dict(_sampler="reference"),
     "maxiter120": dict(max_iter=120),
     "base": dict(),
+    "stall_lean": dict(ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4),
+    "stall_base": dict(),
+    "lean_mu2": dict(ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4, mu_init=1e-2),
+    "lean_kmu01": dict(ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4, kappa_mu=0.1),
     "lean_b256": dict(_B=256, ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4),
     "lean_ref": dict(_sampler="reference", ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4),
     "lean_mi150": dict(max_iter=150, ladder_scales=(0.0, 1.0), refine_steps=1, n_linesearch=4),
