@@ -401,14 +401,34 @@ def solve(
         # least-squares equality-dual initialization (IPOPT's
         # least-square-primal-dual init): y = argmin ||grad_f - Jg'lam + Je'y||
         # — prevents the first iterations from wandering off a warm start
-        # while the duals catch up.
+        # while the duals catch up.  Solved MATRIX-FREE by CG on the normal
+        # equations (Je Je' y = -Je r) with jvp/vjp matvecs: materializing
+        # dense Je/Jg here cost ~27 MB f32 per scenario lane on the CCC
+        # problem (mi ~4.6k x n ~1.5k) and capped batch sizes.  The init
+        # only needs to be approximate; 25 CG iterations is plenty.
         _gf0 = grad_f_fn(z0)
-        _Je0 = Je_fn(z0)
-        _Jg0 = Jg_fn(z0)
-        _r = _gf0 - _Jg0.T @ lam_init
-        _G = _Je0 @ _Je0.T + 1e-8 * jnp.eye(me, dtype=dtype)
-        y_init = -jnp.linalg.solve(_G, _Je0 @ _r)
-        y_init = jnp.clip(y_init, -cfg.y_max, cfg.y_max)
+        _r = _gf0 - vjp_ineq(z0, lam_init)
+
+        def _G_mv(v):
+            return jax.jvp(eq_fn, (z0,), (vjp_eq(z0, v),))[1] + 1e-8 * v
+
+        _b = -jax.jvp(eq_fn, (z0,), (_r,))[1]
+
+        def _cg_body(carry, _):
+            yk, rk, pk, rs = carry
+            Ap = _G_mv(pk)
+            alpha_cg = rs / jnp.maximum(pk @ Ap, 1e-30)
+            yk = yk + alpha_cg * pk
+            rk = rk - alpha_cg * Ap
+            rs_new = rk @ rk
+            pk = rk + (rs_new / jnp.maximum(rs, 1e-30)) * pk
+            return (yk, rk, pk, rs_new), None
+
+        _y0 = jnp.zeros(me, dtype)
+        (_ycg, _, _, _), _ = jax.lax.scan(
+            _cg_body, (_y0, _b, _b, _b @ _b), None, length=25
+        )
+        y_init = jnp.clip(_ycg, -cfg.y_max, cfg.y_max)
         y_init = jnp.where(jnp.isfinite(y_init), y_init, 0.0)
     else:
         y_init = y0

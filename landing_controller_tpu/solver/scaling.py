@@ -67,14 +67,34 @@ def scale_problem(cost_fn, eq_fn, ineq_fn, z0, z_scale=None, g_max: float = 50.0
     n = z0.shape[0]
     d = jnp.ones(n, dtype=dtype) if z_scale is None else jnp.asarray(z_scale, dtype)
 
-    # row-wise gradient norms in scaled variables: |J diag(d)|_inf per row
+    # row-wise gradient norms in scaled variables: |J diag(d)|_inf per row.
+    # Computed by CHUNKED vjp rows instead of materializing the dense
+    # Jacobians — jacfwd here cost ~27 MB f32 per vmapped scenario lane on
+    # the CCC problem (mi ~4.6k x n ~1.5k) and capped batch size/compile
+    # memory; chunked rows keep live memory at chunk x n.
+    def row_inf_norms(fn, m, chunk=128):
+        _, vjp = jax.vjp(fn, z0)
+        n_chunks = -(-m // chunk)
+        row_ids = jnp.arange(m)
+
+        def one_chunk(c):
+            idx = c * chunk + jnp.arange(chunk)
+            E = (idx[:, None] == row_ids[None, :]).astype(dtype)
+            rows = jax.vmap(lambda e: vjp(e)[0])(E)  # (chunk, n)
+            return jnp.max(jnp.abs(rows * d[None, :]), axis=1)
+
+        norms = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+        return norms.reshape(-1)[:m]
+
     gf = jax.grad(cost_fn)(z0) * d
-    Je = jax.jacfwd(eq_fn)(z0) * d[None, :]
-    Jg = jax.jacfwd(ineq_fn)(z0) * d[None, :]
+    me = eq_fn(z0).shape[0]
+    mi = ineq_fn(z0).shape[0]
+    je_norms = row_inf_norms(eq_fn, me)
+    jg_norms = row_inf_norms(ineq_fn, mi)
 
     f_scale = jnp.minimum(1.0, g_max / jnp.maximum(jnp.max(jnp.abs(gf)), 1e-8))
-    eq_scale = jnp.minimum(1.0, g_max / jnp.maximum(jnp.max(jnp.abs(Je), axis=1), 1e-8))
-    ineq_scale = jnp.minimum(1.0, g_max / jnp.maximum(jnp.max(jnp.abs(Jg), axis=1), 1e-8))
+    eq_scale = jnp.minimum(1.0, g_max / jnp.maximum(je_norms, 1e-8))
+    ineq_scale = jnp.minimum(1.0, g_max / jnp.maximum(jg_norms, 1e-8))
 
     def cost_s(zt):
         return cost_fn(zt * d) * f_scale
