@@ -79,7 +79,9 @@ def main():
     ss.run(B, max_wall_s=600)
 
     n = int(os.environ.get("BENCH_N", str(6 * B)))
-    stats = ss.run(n)
+    # hard wall cap: a driver-side bench must terminate even if a lane
+    # misbehaves (stats are per-finished-scenario, so a cap stays honest)
+    stats = ss.run(n, max_wall_s=float(os.environ.get("BENCH_WALL_S", "900")))
 
     value = stats["converged_per_sec"]
     print(

@@ -89,7 +89,7 @@ class LandingSolver:
         self.robot = robot
         self.dtype = dtype
         self.theta_overrides = dict(theta_overrides or {})
-        self.structured = structured and kind != "contact_scheduled"
+        self.structured = structured
         self.robot_params = get_robot_params(robot)
         problem_fn, params_fn = _PROBLEMS[kind]
         self.problem: LandingProblem = problem_fn(self.robot_params, n_knots=n_knots)

@@ -302,7 +302,10 @@ class LandingProblem:
         n = c.n_knots
         if c.contact_scheduled:
             sizes = [4, 4, 24, 4, 16, 24]
-            marked = set()
+            # flight legs pinch 0 <= fz <= cs*f_max to a point; without a
+            # mu-proportional interior both multipliers blow up (~mu/br) and
+            # the complementarity error deadlocks the barrier schedule
+            marked = {0, 1}  # fz, fz_sched
         elif c.kinodynamic:
             sizes = [4, 4, 4, 12, 12, 24, 4, 24, 16, 1, 24, 24]
             marked = {2, 3, 4, 10}  # lcp, ns_hi, ns_lo, fk_band

@@ -734,8 +734,12 @@ def solve(
         alpha_history=final.alpha_hist,
     )
     if return_state:
-        # a converged/stalled lane must stay frozen across future segments
-        final = final._replace(done=final.done | converged)
+        # a converged/stalled lane must stay frozen across future segments;
+        # a lane at the iteration cap can never progress again — mark it
+        # done (failed), else a streaming driver drains it forever
+        final = final._replace(
+            done=final.done | converged | (final.it >= cfg.max_iter)
+        )
         return result, final
     return result
 

@@ -45,7 +45,10 @@ def _layout(problem):
     nx, nu, nj = 12, 24, cfg.n_joints
     nw = nx + nu + nj
     nh = 12 + (12 if (cfg.kinodynamic or cfg.init_foot_eq) else 0)  # head eq rows
-    nd = 12 + nh  # dynamics + (padded) head multiplier slots per block
+    # scheduled variant: 4 ground-pin + 12 no-slip equality rows per knot
+    # (quadruped_SRBM_NLP.m:158-163), linear in (u_k, c_{k+1})
+    nsch = 16 if cfg.contact_scheduled else 0
+    nd = 12 + nsch + nh  # dynamics + scheduled + (padded) head slots per block
     bs = nw + nd
     nb = n  # blocks: N-1 knots + tail
 
@@ -57,24 +60,24 @@ def _layout(problem):
         if nj:
             idx[k, nx + nu :] = off_j + 12 * k + np.arange(12)
     idx[n - 1, :nx] = off_x + 12 * (n - 1) + np.arange(12)
-    return dict(n=n, nx=nx, nu=nu, nj=nj, nw=nw, nh=nh, nd=nd, bs=bs, nb=nb, idx=idx)
+    return dict(
+        n=n, nx=nx, nu=nu, nj=nj, nw=nw, nh=nh, nsch=nsch, nd=nd, bs=bs, nb=nb, idx=idx
+    )
 
 
 def make_structured_newton_step(problem, theta, cfg, snlp):
     """Build a newton_step_fn for solver.ip.solve (scaled space).
 
-    `problem`: a LandingProblem (kinodynamic / srbm_lcp / ccc layouts; the
-    contact_scheduled variant keeps the dense path).  `theta`: the runtime
-    parameter pytree.  `snlp`: the ScaledNLP whose closures the outer loop
-    uses (provides z/row scales).
+    `problem`: a LandingProblem (kinodynamic / srbm_lcp / ccc /
+    contact_scheduled layouts).  `theta`: the runtime parameter pytree.
+    `snlp`: the ScaledNLP whose closures the outer loop uses (provides
+    z/row scales).
     """
-    if problem.config.contact_scheduled:
-        raise NotImplementedError("structured step: scheduled variant uses the dense path")
-
     L = _layout(problem)
     n, nx, nu, nj, nw, nh, nd, bs, nb = (
         L["n"], L["nx"], L["nu"], L["nj"], L["nw"], L["nh"], L["nd"], L["bs"], L["nb"],
     )
+    nsch = L["nsch"]
     idx = jnp.asarray(L["idx"])
     valid = idx >= 0
     idx_safe = jnp.where(valid, idx, 0)
@@ -92,8 +95,14 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
     gsc = snlp.ineq_scale[: (n - 1) * mgk].reshape(n - 1, mgk)
     gsc_t = snlp.ineq_scale[(n - 1) * mgk :]
     esc_head = snlp.eq_scale[:nh]
-    esc_dyn = snlp.eq_scale[nh:].reshape(n - 1, 12)
+    esc_dyn = snlp.eq_scale[nh : nh + 12 * (n - 1)].reshape(n - 1, 12)
     f_scale = snlp.f_scale
+    if nsch:
+        # scheduled eq rows follow the defects in problem.eq: all ground
+        # rows (n-1, 4) then all no-slip rows (n-1, 12)
+        off_g = nh + 12 * (n - 1)
+        esc_ground = snlp.eq_scale[off_g : off_g + 4 * (n - 1)].reshape(n - 1, 4)
+        esc_noslip = snlp.eq_scale[off_g + 4 * (n - 1) :].reshape(n - 1, 12)
 
     def z_to_blocks(z):
         return jnp.where(valid, z[idx_safe], 0.0)
@@ -112,7 +121,10 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
     def stage_ineq_s(v_t, vscale, gscale, ns_mask, dt_k):
         v = v_t * vscale
         x, u, jp, cn = split_v(v)
-        if pcfg.kinodynamic:
+        if pcfg.contact_scheduled:
+            # the per-knot mask slot carries cs_k (4,) for this variant
+            raw = problem._knot_ineq_scheduled(x, u, ns_mask, theta)
+        elif pcfg.kinodynamic:
             raw = problem._knot_ineq_kino(x, u, jp, cn, ns_mask, theta)
         else:
             raw = problem._knot_ineq_srbm(x, u, cn, ns_mask, theta, dt_k)
@@ -161,8 +173,35 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
     cnext_scale = jnp.concatenate([zs_b[1 : n - 1, nx : nx + 12], zs_b[n - 1 : n, nx : nx + 12]])
     v_scale = jnp.concatenate([zs_b[: n - 1], cnext_scale], axis=1)  # (n-1, nw+12)
     ns_masks = jnp.asarray(ns_masks_np, dtype)
+    # scheduled variant: the per-knot mask argument is cs_k instead
+    knot_m = theta.cs if pcfg.contact_scheduled else ns_masks
 
     eye_nd = jnp.eye(nd, dtype=dtype)
+
+    if nsch:
+        # ---- scheduled equality Jacobian coefficients (constant: the rows
+        # are linear in z with per-(leg, coord) diagonal structure, so the
+        # scaled Jacobians are precomputed coefficient arrays, no autodiff).
+        # ground: esc * cs_k,leg * c_z[leg];  no-slip: esc * w_k,leg,d *
+        # (c_{k+1} - c_k)[leg, d]  (problems/landing.py eq(), scheduled arm)
+        cs = theta.cs.astype(dtype)  # (n-1, 4)
+        cs_next = jnp.concatenate([cs[1:], cs[-1:]])
+        ns_m3 = jnp.asarray(ns_masks_np, dtype)[:, None, None]
+        w_ns = jnp.stack([cs, cs, cs * (1.0 - cs_next)], axis=-1) * ns_m3  # (n-1,4,3)
+        zs_c = zs_b[:, nx : nx + 12].reshape(nb, 4, 3)  # c-column scales per block
+        cz_scale = zs_c[: n - 1, :, 2]  # (n-1, 4)
+        Jg_coef = esc_ground * cs * cz_scale  # dG/d(scaled cz col)
+        esc_ns3 = esc_noslip.reshape(n - 1, 4, 3)
+        Jns_own = (-esc_ns3 * w_ns * zs_c[: n - 1]).reshape(n - 1, 12)
+        Jns_next = (esc_ns3 * w_ns * zs_c[1:]).reshape(n - 1, 12)
+        # dense per-knot row blocks over w_k (for A assembly)
+        legs4 = np.arange(4)
+        Jg_w = jnp.zeros((n - 1, 4, nw), dtype).at[
+            :, legs4, nx + 2 + 3 * legs4
+        ].set(Jg_coef)
+        r12 = np.arange(12)
+        Jns_w = jnp.zeros((n - 1, 12, nw), dtype).at[:, r12, nx + r12].set(Jns_own)
+        off_gd = nh + 12 * (n - 1)  # ground rows offset in the flat eq vector
 
     def newton_step(z, y, lam, sigma, mu, use_exact, r_d, r_g, rhs_z, rhs_y, delta_last):
         dtp = z.dtype
@@ -173,14 +212,14 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
         vk = jnp.concatenate([wb[: n - 1], c_next], axis=1)  # (n-1, nw+12)
         sig_k = sigma[: (n - 1) * mgk].reshape(n - 1, mgk)
         lam_k = lam[: (n - 1) * mgk].reshape(n - 1, mgk)
-        y_dyn = y[nh:].reshape(n - 1, 12)
+        y_dyn = y[nh : nh + 12 * (n - 1)].reshape(n - 1, 12)
 
         # inequality Jacobians + sigma-weighted blocks
         def knot_JM(v, vs, gs, m, sg, dt_k):
             J = jax.jacfwd(lambda vv: stage_ineq_s(vv, vs, gs, m, dt_k))(v)
             return J.T @ (sg[:, None] * J)
 
-        M = jax.vmap(knot_JM)(vk, v_scale, gsc, ns_masks, sig_k, theta.dt)
+        M = jax.vmap(knot_JM)(vk, v_scale, gsc, knot_m, sig_k, theta.dt)
 
         # Lagrangian stage Hessians.  The exact Hessian (forward-over-
         # reverse through the full stage Lagrangian) is the expensive part
@@ -210,7 +249,7 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
             return jnp.where(use_exact, jax.hessian(lag_exact)(v), gn_hess())
 
         Hk = jax.vmap(knot_hess)(
-            vk, v_scale, gsc, ns_masks, lam_k, y_dyn, esc_dyn,
+            vk, v_scale, gsc, knot_m, lam_k, y_dyn, esc_dyn,
             theta.x_ref[:-1], theta.u_ref, theta.dt,
         )
         HM = Hk + M
@@ -244,8 +283,16 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
         A = A.at[: n - 1, nw : nw + 12, :nw].add(Dk)
         diag_coef = jax.vmap(jnp.diag)(xnext_coef)  # (n-1, 12, 12)
         C = C.at[: n - 1, :12, nw : nw + 12].add(diag_coef)
-        A = A.at[0, :nw, nw + 12 : nw + 12 + nh].add(Jh.T)
-        A = A.at[0, nw + 12 : nw + 12 + nh, :nw].add(Jh)
+        if nsch:
+            # scheduled ground/no-slip multiplier slots (block k) and the
+            # no-slip c_{k+1} coupling (diagonal into block k+1's c columns)
+            A = A.at[: n - 1, :nw, nw + 12 : nw + 16].add(jnp.swapaxes(Jg_w, 1, 2))
+            A = A.at[: n - 1, nw + 12 : nw + 16, :nw].add(Jg_w)
+            A = A.at[: n - 1, :nw, nw + 16 : nw + 28].add(jnp.swapaxes(Jns_w, 1, 2))
+            A = A.at[: n - 1, nw + 16 : nw + 28, :nw].add(Jns_w)
+            C = C.at[: n - 1, nx + r12, nw + 16 + r12].add(Jns_next)
+        A = A.at[0, :nw, nw + 12 + nsch : nw + 12 + nsch + nh].add(Jh.T)
+        A = A.at[0, nw + 12 + nsch : nw + 12 + nsch + nh, :nw].add(Jh)
         A = A.at[n - 1, :nx, :nx].add(Ht)
         if nw > nx:
             A = A.at[n - 1, nx:nw, nx:nw].add(jnp.eye(nw - nx, dtype=dtp))
@@ -266,8 +313,16 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
         nu_scale = nu_scale.at[: n - 1, :12].set(
             1.0 / jnp.sqrt(dyn_norm2 + 1e-6)
         )
+        if nsch:
+            # scheduled rows have 1 (ground) / 2 (no-slip) diagonal nonzeros
+            g_norm2 = Jg_coef * Jg_coef
+            ns_norm2 = Jns_own * Jns_own + Jns_next * Jns_next
+            nu_scale = nu_scale.at[: n - 1, 12:16].set(1.0 / jnp.sqrt(g_norm2 + 1e-6))
+            nu_scale = nu_scale.at[: n - 1, 16:28].set(1.0 / jnp.sqrt(ns_norm2 + 1e-6))
         head_norm2 = jnp.sum(Jh * Jh, axis=1)
-        nu_scale = nu_scale.at[0, 12 : 12 + nh].set(1.0 / jnp.sqrt(head_norm2 + 1e-6))
+        nu_scale = nu_scale.at[0, 12 + nsch : 12 + nsch + nh].set(
+            1.0 / jnp.sqrt(head_norm2 + 1e-6)
+        )
         d_block = jnp.concatenate([scale_w, nu_scale], axis=1)
 
         ar = jnp.arange(nw)
@@ -317,8 +372,17 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
         rz_blocks = z_to_blocks(rhs_z)
         b = jnp.zeros((nb, bs), dtp)
         b = b.at[:, :nw].set(rz_blocks)
-        b = b.at[: n - 1, nw : nw + 12].set(rhs_y[nh:].reshape(n - 1, 12))
-        b = b.at[0, nw + 12 : nw + 12 + nh].set(rhs_y[:nh])
+        b = b.at[: n - 1, nw : nw + 12].set(
+            rhs_y[nh : nh + 12 * (n - 1)].reshape(n - 1, 12)
+        )
+        if nsch:
+            b = b.at[: n - 1, nw + 12 : nw + 16].set(
+                rhs_y[off_gd : off_gd + 4 * (n - 1)].reshape(n - 1, 4)
+            )
+            b = b.at[: n - 1, nw + 16 : nw + 28].set(
+                rhs_y[off_gd + 4 * (n - 1) :].reshape(n - 1, 12)
+            )
+        b = b.at[0, nw + 12 + nsch : nw + 12 + nsch + nh].set(rhs_y[:nh])
         b_s = b * d_block
 
         x_s = solve_fn(fac, b_s)
@@ -330,9 +394,14 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
         x = x_s * d_block
 
         dz = blocks_to_z(x[:, :nw])
-        dy = jnp.concatenate(
-            [x[0, nw + 12 : nw + 12 + nh], x[: n - 1, nw : nw + 12].reshape(-1)]
-        )
+        dy_parts = [
+            x[0, nw + 12 + nsch : nw + 12 + nsch + nh],
+            x[: n - 1, nw : nw + 12].reshape(-1),
+        ]
+        if nsch:
+            dy_parts.append(x[: n - 1, nw + 12 : nw + 16].reshape(-1))
+            dy_parts.append(x[: n - 1, nw + 16 : nw + 28].reshape(-1))
+        dy = jnp.concatenate(dy_parts)
         return dz, dy, delta_used
 
     return newton_step

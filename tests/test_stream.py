@@ -76,3 +76,23 @@ def test_streaming_throughput_accounting():
     assert stats["converged_mask"].shape == (10,)
     assert stats["ics"].shape == (10, 12)
     assert stats["n_converged"] >= 7, stats
+
+
+def test_max_iter_lane_reports_done():
+    """A lane that exhausts max_iter without converging must come back
+    done=True (failed) from the segmented solve — otherwise a streaming
+    driver keeps polling it forever (the observed bench hang)."""
+    from landing_controller_tpu.solver.ip import solve
+
+    # tiny NLP that cannot converge in 4 iterations from a cold start
+    cost = lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2
+    eq = lambda z: jnp.array([z[0] + z[1] - 2.0])
+    ineq = lambda z: jnp.array([z[0], z[1], 0.1 - z[0] * z[1]])
+    cfg = IPConfig(max_iter=4, hessian_mode="gn")
+    z0 = jnp.array([5.0, -3.0])
+    _, st = solve(cost, eq, ineq, z0, cfg, segment_iters=3, return_state=True)
+    assert not bool(st.done)
+    res, st = solve(cost, eq, ineq, z0, cfg, state0=st, segment_iters=3, return_state=True)
+    assert int(st.it) == 4
+    assert bool(st.done)
+    assert not bool(res.converged)
