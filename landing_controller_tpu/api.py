@@ -34,6 +34,7 @@ from .problems.landing import (
 from .solver import IPConfig, solve
 from .solver.scaling import landing_z_scale, scale_problem
 from .warmstart.reference import (
+    ballistic_guess,
     ccc_params,
     contact_scheduled_params,
     initial_guess_from_reference,
@@ -82,11 +83,15 @@ class LandingSolver:
         dtype=jnp.float32,
         theta_overrides: dict | None = None,
         structured: bool = True,
+        guess: str = "reference",
     ):
         if kind not in _PROBLEMS:
             raise KeyError(f"unknown problem kind '{kind}'; available: {sorted(_PROBLEMS)}")
+        if guess not in ("reference", "ballistic"):
+            raise KeyError(f"unknown guess '{guess}' (reference | ballistic)")
         self.kind = kind
         self.robot = robot
+        self.guess = guess
         self.dtype = dtype
         self.theta_overrides = dict(theta_overrides or {})
         self.structured = structured
@@ -119,6 +124,15 @@ class LandingSolver:
         self._solve_one = jax.jit(self._solve_impl)
         self._solve_vmap = jax.jit(jax.vmap(self._solve_impl))
 
+    def _cold_guess(self, prob, theta):
+        """Cold-start z0: the reference's linspace guess or the
+        physics-informed ballistic guess (warmstart/reference.py).  The
+        ballistic guess integrates the flight phase instead of decelerating
+        from knot 0, which the dynamics cannot do pre-contact."""
+        if self.guess == "ballistic":
+            return ballistic_guess(prob, theta)
+        return initial_guess_from_reference(prob, theta)
+
     def build_params(self, q_init, qd_init):
         """Scenario -> runtime parameter pytree (no recompilation)."""
         theta = self._params_fn(
@@ -145,7 +159,7 @@ class LandingSolver:
         theta = self.build_params(q_init, qd_init)
         warm_primal = z0 is not None
         if z0 is None:
-            z0 = initial_guess_from_reference(prob, theta)
+            z0 = self._cold_guess(prob, theta)
         z0 = z0.astype(self.dtype)
         snlp = scale_problem(
             partial(prob.cost, theta=theta),
@@ -222,7 +236,7 @@ class LandingSolver:
         """
         prob = self.problem
         theta = self.build_params(q_init, qd_init)
-        z0 = initial_guess_from_reference(prob, theta).astype(self.dtype)
+        z0 = self._cold_guess(prob, theta).astype(self.dtype)
         snlp = scale_problem(
             partial(prob.cost, theta=theta),
             partial(prob.eq, theta=theta),

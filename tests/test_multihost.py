@@ -96,6 +96,11 @@ json.dump(
     open(out_path, "w"),
 )
 print("WORKER_DONE", flush=True)
+# barrier before exit: process 0 hosts the coordination service, and
+# exiting while the peer is still in its post-solve checks kills the
+# peer with "leader task died" (observed flake under CPU contention)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("exit")
 os._exit(0)
 '''
 
