@@ -28,6 +28,7 @@ from .problems.landing import (
     ccc_problem,
     contact_scheduled_problem,
     kinodynamic_problem,
+    kinodynamic_voltage_problem,
     sliding_problem,
     srbm_lcp_problem,
 )
@@ -64,6 +65,7 @@ class LandingSolution(NamedTuple):
 
 _PROBLEMS = {
     "kinodynamic": (kinodynamic_problem, kinodynamic_params),
+    "kinodynamic_voltage": (kinodynamic_voltage_problem, kinodynamic_params),
     "srbm_lcp": (srbm_lcp_problem, srbm_lcp_params),
     "ccc": (ccc_problem, ccc_params),
     "contact_scheduled": (contact_scheduled_problem, contact_scheduled_params),
@@ -94,7 +96,8 @@ class LandingSolver:
         self.guess = guess
         self.dtype = dtype
         self.theta_overrides = dict(theta_overrides or {})
-        self.structured = structured
+        # voltage rows couple adjacent knots' jpos — dense path only
+        self.structured = structured and kind != "kinodynamic_voltage"
         self.robot_params = get_robot_params(robot)
         problem_fn, params_fn = _PROBLEMS[kind]
         self.problem: LandingProblem = problem_fn(self.robot_params, n_knots=n_knots)

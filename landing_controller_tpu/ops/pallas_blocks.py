@@ -39,6 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+# The unrolled two-Cholesky scheme keeps ~5-6 (BS, BS, LANE) temporaries
+# live; at BS=84 (kinodynamic blocks) that is ~20 MB — above Mosaic's
+# default 16 MB scoped-vmem limit (v5e has 128 MB VMEM).  Raise the
+# kernel's limit so the big-block variants compile; small blocks are
+# unaffected.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _lane_matmul(Amat, Bmat, nk: int, transpose_b: bool = False):
     """Lane-batched matmul: (i,k,L),(k,j,L)->(i,j,L) via rank-1 accumulation.
@@ -182,6 +189,7 @@ def qd_inverse(S, np_: int, nd: int, interpret: bool = False):
             jax.ShapeDtypeStruct((1, m_pad), dtype),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(St)
     Sinv = jnp.transpose(out[:, :, :m], (2, 0, 1))
     return Sinv, ok[0, :m] > 0.0
@@ -286,6 +294,7 @@ def chol_inverse(A, interpret: bool = False):
             jax.ShapeDtypeStruct((1, m_pad), dtype),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(At)
     Ainv = jnp.transpose(out[:, :, :m], (2, 0, 1))
     return Ainv, ok[0, :m] > 0.0

@@ -22,6 +22,7 @@ from .landing import (
     ccc_problem,
     contact_scheduled_problem,
     kinodynamic_problem,
+    kinodynamic_voltage_problem,
     sliding_problem,
     srbm_lcp_problem,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "LandingProblem",
     "LandingVars",
     "kinodynamic_problem",
+    "kinodynamic_voltage_problem",
     "srbm_lcp_problem",
     "ccc_problem",
     "contact_scheduled_problem",

@@ -126,6 +126,9 @@ class LandingConfig:
     terminal_box: bool = True  # terminal state box rows
     init_foot_eq: bool = False  # c_0 == c_init equality
     lcp_rows: bool = True  # complementarity rows (off for scheduled)
+    voltage_limit: bool = False  # motor back-EMF voltage rows (kinodynamic
+    # only; test_finalOptimization_voltageLimits.m:178-187 — the reference
+    # later disabled these in production, landing_optimization.m:191-200)
     # cost p_hip nominal offsets (quadruped_SRBM_NLP.m:78-80)
     p_hip_cost: tuple = (
         (0.19, -0.1, -0.2), (0.19, 0.1, -0.2), (-0.19, -0.1, -0.2), (-0.19, 0.1, -0.2)
@@ -265,7 +268,8 @@ class LandingProblem:
             per_knot = 4 + 4 + 4 + 24 + 8 + 8 + 8 + 4 + 24 + 16 + 1 + 24 + 24
         else:
             per_knot = 4 + 4 + 4 + 4 + 24 + 8 + 8 + 8 + 4 + 16 + 24
-        return per_knot * (n - 1) + (24 if c.terminal_box else 0)
+        n_volt = 24 * (n - 2) if c.voltage_limit else 0
+        return per_knot * (n - 1) + (24 if c.terminal_box else 0) + n_volt
 
     def ineq_row_labels(self):
         """Human-readable label per inequality row (diagnostics)."""
@@ -291,6 +295,9 @@ class LandingProblem:
                 labels += [f"k{k}:{name}[{i}]" for i in range(sz)]
         if c.terminal_box:
             labels += [f"terminal[{i}]" for i in range(24)]
+        if c.voltage_limit:
+            for k in range(1, n - 1):
+                labels += [f"k{k}:volt[{i}]" for i in range(24)]
         return labels
 
     def relax_mask(self) -> jnp.ndarray:
@@ -320,7 +327,8 @@ class LandingProblem:
         )
         per_knot = np.tile(row, n - 1)
         tail = np.zeros(24) if c.terminal_box else np.zeros(0)
-        return jnp.asarray(np.concatenate([per_knot, tail]))
+        volt = np.zeros(24 * (n - 2)) if c.voltage_limit else np.zeros(0)
+        return jnp.asarray(np.concatenate([per_knot, tail, volt]))
 
     def ineq(self, z: jnp.ndarray, theta: LandingParams) -> jnp.ndarray:
         v = self.unpack(z)
@@ -340,9 +348,42 @@ class LandingProblem:
         else:
             knot_fn = lambda x, u, cn, m, dt: self._knot_ineq_srbm(x, u, cn, m, theta, dt)
             rows = jax.vmap(knot_fn)(v.X[:-1], v.U, c_next, ns_mask, theta.dt)
+        parts = [rows.reshape(-1)]
         if self.config.terminal_box:
-            term = self._terminal_ineq(v.X[-1], theta)
-            return jnp.concatenate([rows.reshape(-1), term])
+            parts.append(self._terminal_ineq(v.X[-1], theta))
+        if self.config.voltage_limit:
+            parts.append(self._voltage_rows(v, theta))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def _voltage_rows(self, v, theta):
+        """Motor terminal-voltage limit rows |i R_m + back-EMF| <= V_batt
+        (test_finalOptimization_voltageLimits.m:178-187; back-EMF model as
+        plot_results.m:23-38).  One row pair per joint per knot k=1..N-2,
+        with joint velocity from the backward difference (jpos_k -
+        jpos_{k-1}) / dt(1) — the reference divides by the FIRST dt, not
+        dt_k; replicated for parity."""
+        rp = self.robot_params
+        dtype = v.X.dtype
+        gr = jnp.tile(
+            jnp.asarray(
+                [rp.abad_gear_ratio, rp.hip_gear_ratio, rp.knee_gear_ratio], dtype
+            ),
+            4,
+        )
+        kt = jnp.asarray(rp.motor_kt, dtype)
+        rm = jnp.asarray(rp.motor_r, dtype)
+        v_batt = jnp.asarray(rp.battery_v, dtype)
+
+        def pair(x_k, jp_k, jp_prev, f_k):
+            tau = legs.leg_torques(rp, jp_k, x_k[3:6], f_k)
+            current = (tau / gr) / (1.5 * kt)
+            jvel = (jp_k - jp_prev) / theta.dt[0]
+            volt = current * rm + jvel * gr * kt * 2.0
+            return jnp.concatenate([v_batt - volt, volt + v_batt])
+
+        rows = jax.vmap(pair)(
+            v.X[1:-1], v.jpos[1:], v.jpos[:-1], v.U[1:, 12:]
+        )
         return rows.reshape(-1)
 
     def _terminal_ineq(self, x_n, theta):
@@ -530,6 +571,21 @@ def kinodynamic_problem(robot_params, n_knots: int = 21) -> LandingProblem:
     """The production kinodynamic landing NLP (landing_optimization.m)."""
     cfg = LandingConfig(n_knots=n_knots, kinodynamic=True, rotation="xyz", noslip_eps=1e-3)
     return LandingProblem(cfg, robot_params)
+
+
+def kinodynamic_voltage_problem(robot_params, n_knots: int = 21) -> LandingProblem:
+    """Kinodynamic NLP + motor back-EMF voltage limit rows
+    (test_finalOptimization_voltageLimits.m:178-187).  The reference
+    disabled these rows in its production driver
+    (landing_optimization.m:191-200 commented out); the variant is kept for
+    capability parity.  Voltage rows couple adjacent knots' joint angles,
+    so this variant runs on the dense KKT path."""
+    base = kinodynamic_problem(robot_params, n_knots=n_knots)
+    import dataclasses
+
+    return LandingProblem(
+        dataclasses.replace(base.config, voltage_limit=True), robot_params
+    )
 
 
 def srbm_lcp_problem(robot_params, n_knots: int = 21) -> LandingProblem:

@@ -18,10 +18,22 @@ for attempt in 1 2 3 4; do
     sleep 15
     now=$(date +%s)
     if (( now - start > WEDGE_S )); then
-      cpu=$(ps -o cputimes= -p $pid 2>/dev/null | tr -d ' ')
+      # sum CPU over the whole process tree: $pid may be a `timeout`
+      # wrapper whose own CPU time stays ~0 while the child works
+      cpu=$(ps -eo pid=,ppid=,cputimes= | awk -v root=$pid '
+        {pid[NR]=$1; ppid[NR]=$2; t[NR]=$3}
+        END {
+          n=NR; in_tree[root]=1
+          for (iter=0; iter<6; iter++)
+            for (i=1;i<=n;i++) if (in_tree[ppid[i]]) in_tree[pid[i]]=1
+          s=0; for (i=1;i<=n;i++) if (in_tree[pid[i]]) s+=t[i]
+          print s
+        }')
       if [[ -n "$cpu" && "$cpu" -lt 3 ]]; then
         echo "[run_tpu] wedge detected (cpu=${cpu}s after $((now-start))s); killing $pid" >> "$LOG"
-        kill $pid 2>/dev/null; sleep 2; kill -9 $pid 2>/dev/null
+        # kill the whole tree ($pid may be a wrapper)
+        pkids=$(ps -eo pid=,ppid= | awk -v r=$pid '{p[NR]=$1; pp[NR]=$2} END {t[r]=1; for(k=0;k<6;k++) for(i=1;i<=NR;i++) if(t[pp[i]]) t[p[i]]=1; for(i=1;i<=NR;i++) if(t[p[i]]) print p[i]}')
+        kill $pkids 2>/dev/null; sleep 2; kill -9 $pkids 2>/dev/null
         wedged=1
         break
       fi
