@@ -4,7 +4,7 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Metric: converged cold-start SRBM-LCP landing solves/s on one chip (full
 interior-point solve to the reference tolerance contract), measured in
-**streaming** mode: the solver runs in 50-iteration segments and finished
+**streaming** mode: the solver runs in K-iteration segments and finished
 lanes are refilled with fresh scenarios (parallel/stream.py), so
 throughput reflects the average iteration count instead of the batch max.
 Baseline for vs_baseline: the BASELINE.json north star of >= 1000
@@ -16,15 +16,79 @@ The KKT backend is the Pallas inverse-based cyclic reduction ("cri",
 ops/pallas_blocks.py + ops/cr_inverse.py) — the TPU replacement for the
 reference's IPOPT/KNITRO native sparse KKT factorization
 (quadruped_SRBM_NLP.m:253-292).
+
+Robustness contract (round-2 verdict weak-#1): this process GUARANTEES a
+JSON line on stdout as long as it isn't SIGKILLed —
+- a cumulative-stats snapshot is taken after every streaming segment,
+- SIGTERM/SIGINT (e.g. the driver's `timeout`) and a self-imposed
+  SIGALRM wall budget (BENCH_TOTAL_S, default 420 s incl. compile) print
+  the latest snapshot and exit 0,
+- total work is sized to finish well inside the budget on a warm
+  persistent compile cache (.jax_cache), and the snapshot path covers the
+  cold-cache case.
 """
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 BASELINE_PER_CHIP = 125.0  # north star 1000 solves/s on 8 chips
+
+_printed = False
+_best = None  # latest stats snapshot (always print-ready)
+
+
+def _emit():
+    global _printed
+    if _printed:
+        return
+    _printed = True
+    if _best is None:
+        # nothing measured (killed during compile): still emit an honest row
+        print(
+            json.dumps(
+                {
+                    "metric": "converged_landing_solves_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "solves/s",
+                    "vs_baseline": 0.0,
+                    "note": "killed before first measurement (compile phase)",
+                }
+            ),
+            flush=True,
+        )
+    else:
+        print(json.dumps(_best), flush=True)
+
+
+def _on_signal(signum, frame):
+    _emit()
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _snapshot(stats, extra):
+    global _best
+    if stats["n_finished"] == 0:
+        return
+    value = stats["converged_per_sec"]
+    _best = {
+        "metric": "converged_landing_solves_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(value / BASELINE_PER_CHIP, 4),
+        "mode": "streaming",
+        "n_scenarios": stats["n_finished"],
+        "wall_s": round(stats["wall_s"], 2),
+        "convergence_rate": round(stats["convergence_rate"], 4),
+        "iters_p50": int(stats["iters_p50"]),
+        "iters_p90": int(stats["iters_p90"]),
+        **extra,
+    }
 
 
 def bench_sampler(n, _box=[None]):
@@ -44,7 +108,13 @@ def bench_sampler(n, _box=[None]):
 
 
 def main():
-    import jax
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    budget = float(os.environ.get("BENCH_TOTAL_S", "420"))
+    signal.alarm(int(budget))
+    t_start = time.time()
+
     import jax.numpy as jnp
 
     from landing_controller_tpu.runtime import enable_persistent_cache
@@ -57,7 +127,7 @@ def main():
 
     cfg = IPConfig(
         max_iter=int(os.environ.get("BENCH_MAX_ITER", "200")),
-        hessian_mode="hybrid",
+        hessian_mode=os.environ.get("BENCH_HESS", "hybrid"),
         mu_min=1e-5,
         tol=2e-4,
         sigma_max=1e5,
@@ -66,7 +136,7 @@ def main():
         delta_c=1e-6,
         kkt_backend=os.environ.get("BENCH_BACKEND", "cri"),
         ladder_scales=(0.0, 1.0),
-        n_linesearch=4,
+        n_linesearch=int(os.environ.get("BENCH_LS", "4")),
     )
     # ballistic cold-start guess: integrates the flight phase instead of
     # decelerating from knot 0 (the reference's linspace guess) — measured
@@ -80,35 +150,32 @@ def main():
     seg = int(os.environ.get("BENCH_SEGMENT", "50"))
     ss = StreamingSolver(solver, batch=B, segment=seg, sampler=bench_sampler)
 
-    # warm-up pass compiles the segment + init executables (the artifact
-    # step; persistent cache makes it a load on repeat runs)
-    ss.run(B, max_wall_s=600)
+    extra = {"batch": B, "segment": seg, "guess": guess, "tol": cfg.tol}
 
+    # warm-up: compile the init + segment executables on a throwaway state
+    # (persistent cache turns this into a load on repeat runs) so the
+    # measured run's wall clock is pure solve throughput
+    import jax
+
+    q_w, qd_w = bench_sampler(B)
+    st_w = ss._init(jnp.asarray(q_w), jnp.asarray(qd_w))
+    _, st_w = ss._seg(jnp.asarray(q_w), jnp.asarray(qd_w), st_w)
+    jax.block_until_ready(st_w.z)
+    extra["compile_s"] = round(time.time() - t_start, 1)
+
+    # single measured run; every segment updates the emit-ready snapshot,
+    # so the first number exists ~2 segments after warm-up finishes.
+    # Wall cap leaves margin for the final print under the alarm budget.
+    compile_spent = time.time() - t_start
+    run_wall = max(60.0, budget - compile_spent - 30.0)
     n = int(os.environ.get("BENCH_N", str(6 * B)))
-    # hard wall cap: a driver-side bench must terminate even if a lane
-    # misbehaves (stats are per-finished-scenario, so a cap stays honest)
-    stats = ss.run(n, max_wall_s=float(os.environ.get("BENCH_WALL_S", "900")))
-
-    value = stats["converged_per_sec"]
-    print(
-        json.dumps(
-            {
-                "metric": "converged_landing_solves_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "solves/s",
-                "vs_baseline": round(value / BASELINE_PER_CHIP, 4),
-                "mode": "streaming",
-                "batch": B,
-                "segment": seg,
-                "n_scenarios": stats["n_finished"],
-                "wall_s": round(stats["wall_s"], 2),
-                "convergence_rate": round(stats["convergence_rate"], 4),
-                "iters_p50": int(stats["iters_p50"]),
-                "iters_p90": int(stats["iters_p90"]),
-                "guess": guess,
-            }
-        )
+    stats = ss.run(
+        n,
+        max_wall_s=run_wall,
+        progress_cb=lambda s: _snapshot(s, extra),
     )
+    _snapshot(stats, extra)
+    _emit()
 
 
 if __name__ == "__main__":

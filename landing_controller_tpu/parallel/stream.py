@@ -53,12 +53,22 @@ class StreamingSolver:
         )
         self._init = jax.jit(jax.vmap(solver.init_state))
 
-    def run(self, n_scenarios: int, max_wall_s: float | None = None):
+    def run(
+        self,
+        n_scenarios: int,
+        max_wall_s: float | None = None,
+        progress_cb: Callable | None = None,
+    ):
         """Solve ~n_scenarios scenarios; returns a stats dict.
 
         Lanes are refilled until n_scenarios have been *started*; the run
         drains until every started lane finishes.  Collected per finished
         scenario: convergence flag, iterations, violation (and the IC).
+
+        progress_cb(stats_dict), if given, is invoked after every segment
+        with the cumulative stats so far — lets a caller snapshot a partial
+        result (e.g. a benchmark that must emit a number even if killed
+        mid-run).
         """
         B = self.batch
         q, qd = self.sampler(B)
@@ -109,10 +119,16 @@ class StreamingSolver:
                     live = (live & ~newly) | refill
                 else:
                     live = live & ~newly
+            if progress_cb is not None:
+                progress_cb(self._stats(results, started, t0))
             if n_collected >= n_scenarios or not live.any():
                 break
             if max_wall_s is not None and time.time() - t0 > max_wall_s:
                 break
+        return self._stats(results, started, t0)
+
+    @staticmethod
+    def _stats(results, started, t0):
         wall = time.time() - t0
         conv = np.concatenate(results["converged"]) if results["converged"] else np.zeros(0, bool)
         its = np.concatenate(results["iterations"]) if results["iterations"] else np.zeros(0, int)
