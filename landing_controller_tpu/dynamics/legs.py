@@ -20,6 +20,7 @@ the VPU cleanly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,7 +79,11 @@ def foot_positions_world(params, q_base, jpos):
         params.abad_location, dtype=jpos.dtype
     )
     p_hip = foot_positions_hip(params, jpos)
-    return q_base[:3] + (abad + p_hip) @ R.T
+    # full-precision apply: TPU default f32 matmul is bf16 (~2e-3 abs
+    # error on ~0.3 m positions) — too coarse for the +-1 cm FK band
+    return q_base[:3] + jnp.einsum(
+        "lj,ij->li", abad + p_hip, R, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def leg_jacobians(params, jpos):
@@ -127,7 +132,9 @@ def leg_torques(params, jpos, rpy, f_grf):
     J = leg_jacobians(params, jpos)  # (4,3,3)
     R_w2b = jnp.swapaxes(rpy_to_rot_xyz(rpy), -1, -2)
     f = f_grf.reshape(4, 3)
-    f_body = -f @ R_w2b.T  # (-R_w2b @ f_leg) for each leg
+    f_body = -jnp.einsum(
+        "lj,ij->li", f, R_w2b, precision=jax.lax.Precision.HIGHEST
+    )  # (-R_w2b @ f_leg) for each leg
     tau = jnp.einsum("lij,li->lj", J, f_body)  # J' @ f_body
     return tau.reshape(12)
 
@@ -152,7 +159,10 @@ def inverse_kinematics(params, fb_state, p_feet, convention: str = "zyx"):
         params.abad_location, dtype=dtype
     )
     p = p_feet.reshape(4, 3)
-    p_rel = (p - fb_state[:3]) @ R_b2w - hip_rel  # R_w2b @ (p - base) per leg
+    p_rel = jnp.einsum(
+        "lj,ji->li", p - fb_state[:3], R_b2w,
+        precision=jax.lax.Precision.HIGHEST,
+    ) - hip_rel  # R_w2b @ (p - base) per leg
     side = jnp.asarray(SIDE_SIGN_XYZ[:, 1], dtype=dtype)  # [-1,1,-1,1]
     l1s = side * l1
 
@@ -168,3 +178,65 @@ def inverse_kinematics(params, fb_state, p_feet, convention: str = "zyx"):
     th2 = jnp.arctan2(B, A) + jnp.arctan2(jnp.sqrt(disc), C)
     th3 = jnp.arctan2(px - l2 * jnp.sin(th2), tmp - l2 * jnp.cos(th2)) - th2
     return jnp.stack([th1, th2, th3], axis=-1).reshape(12)
+
+
+def inverse_kinematics_newton(
+    params,
+    fb_state,
+    p_feet,
+    jpos_guess,
+    convention: str = "xyz",
+    iters: int = 8,
+    tol: float = 1e-6,
+):
+    """Numeric IK refinement — the ``fsolve``-on-FK-residual fallback
+    (misc/inverse_kinematics.m:1-19, used at quadruped_SRBM_NLP.m:315-326).
+
+    Runs a fixed-iteration damped Newton on the per-leg body-frame FK
+    residual from ``jpos_guess`` (typically the closed-form
+    :func:`inverse_kinematics` answer, or a nominal stance).  Like the
+    reference's ``exitflag<=0`` fallback, if the refined answer does not
+    beat the guess's residual (out-of-workspace target), the guess is
+    returned unchanged — branch-free, jit/vmap-safe.
+    """
+    dtype = p_feet.dtype
+    if convention == "zyx":
+        R_b2w = rpy_to_rot_zyx(fb_state[3:6])
+    elif convention == "xyz":
+        R_b2w = rpy_to_rot_xyz(fb_state[3:6])
+    else:
+        raise ValueError(convention)
+    hip_rel = jnp.asarray(SIDE_SIGN_XYZ, dtype=dtype) * jnp.asarray(
+        params.abad_location, dtype=dtype
+    )
+    # TPU: default f32 matmul precision is bf16 — fatal for a 3x3 Newton
+    # solve aiming at ~1e-6 residuals (incl. the world->hip target rotation);
+    # pin full precision around the whole refinement
+    with jax.default_matmul_precision("highest"):
+        # per-leg target in the hip frame: R_w2b (p - base) - hip
+        target = jnp.einsum(
+            "lj,ji->li", p_feet.reshape(4, 3) - fb_state[:3], R_b2w,
+            precision=jax.lax.Precision.HIGHEST,
+        ) - hip_rel
+
+        def residual(jp):
+            return foot_positions_hip(params, jp) - target  # (4, 3)
+
+        def step(jp, _):
+            r = residual(jp)
+            J = leg_jacobians(params, jp)  # (4,3,3) = d p_hip/d jpos per leg
+            # damped per-leg 3x3 solve (Levenberg): J'J + eps I guards the
+            # knee-singular configurations the reference's fsolve also hits
+            JtJ = jnp.einsum("lki,lkj->lij", J, J) + 1e-9 * jnp.eye(3, dtype=dtype)
+            rhs = jnp.einsum("lki,lk->li", J, r)
+            djp = jnp.linalg.solve(JtJ, rhs[..., None])[..., 0]
+            return jp - djp.reshape(12), None
+
+        jp0 = jpos_guess.reshape(12).astype(dtype)
+        jp_ref, _ = jax.lax.scan(step, jp0, None, length=iters)
+        # fallback to the guess when refinement failed to improve
+        # (reference: fall back on exitflag<=0)
+        err_ref = jnp.max(jnp.abs(residual(jp_ref)))
+        err_0 = jnp.max(jnp.abs(residual(jp0)))
+    better = jnp.isfinite(err_ref) & (err_ref <= jnp.maximum(err_0, tol))
+    return jnp.where(better, jp_ref, jp0)

@@ -97,17 +97,41 @@ def rpy_to_rot_xyz(rpy):
 
     ``R_b2w = rx(r)' @ ry(p)' @ rz(y)'`` — this is the production convention
     used by the kinodynamic landing NLP (landing_optimization.m:112-113).
+    Composed elementwise (no matmuls): identical algebra, but immune to the
+    TPU's default bf16 f32-matmul precision (a 3x3 @ 3x3 at bf16 puts ~1e-3
+    error into every downstream kinematic quantity).
     """
     r, p, y = rpy[..., 0], rpy[..., 1], rpy[..., 2]
-    Rx, Ry, Rz = rx(r), ry(p), rz(y)
-    return jnp.swapaxes(Rx, -1, -2) @ jnp.swapaxes(Ry, -1, -2) @ jnp.swapaxes(Rz, -1, -2)
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    return jnp.stack(
+        [
+            jnp.stack([cp * cy, -cp * sy, sp], -1),
+            jnp.stack([cr * sy + sr * sp * cy, cr * cy - sr * sp * sy, -sr * cp], -1),
+            jnp.stack([sr * sy - cr * sp * cy, sr * cy + cr * sp * sy, cr * cp], -1),
+        ],
+        -2,
+    )
 
 
 def rpy_to_rot_zyx(rpy):
-    """Body-to-world rotation, legacy ZYX convention (rpyToRotMat.m:1-2)."""
+    """Body-to-world rotation, legacy ZYX convention (rpyToRotMat.m:1-2).
+
+    Elementwise composition of ``rz(y)' @ ry(p)' @ rx(r)'`` (see
+    :func:`rpy_to_rot_xyz` for why no matmuls)."""
     r, p, y = rpy[..., 0], rpy[..., 1], rpy[..., 2]
-    Rx, Ry, Rz = rx(r), ry(p), rz(y)
-    return jnp.swapaxes(Rz, -1, -2) @ jnp.swapaxes(Ry, -1, -2) @ jnp.swapaxes(Rx, -1, -2)
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    return jnp.stack(
+        [
+            jnp.stack([cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr], -1),
+            jnp.stack([sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr], -1),
+            jnp.stack([-sp, cp * sr, cp * cr], -1),
+        ],
+        -2,
+    )
 
 
 def binv(rpy):

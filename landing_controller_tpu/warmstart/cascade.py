@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..dynamics.legs import inverse_kinematics
+from ..dynamics.legs import inverse_kinematics, inverse_kinematics_newton
 from ..problems.landing import LandingVars
 
 
@@ -27,7 +27,13 @@ def kinodynamic_guess_from_srbm(kino_problem, robot_params, X, U, jpos_clip=None
     """
 
     def ik_knot(x, u):
-        return inverse_kinematics(robot_params, x[:6], u[:12], convention="xyz")
+        # closed-form IK + fsolve-analogue Newton polish (the reference's
+        # numeric fallback, misc/inverse_kinematics.m; falls back to the
+        # closed form for out-of-workspace stage-1 feet)
+        jp = inverse_kinematics(robot_params, x[:6], u[:12], convention="xyz")
+        return inverse_kinematics_newton(
+            robot_params, x[:6], u[:12], jp, convention="xyz", iters=3
+        )
 
     jpos = jax.vmap(ik_knot)(X[:-1], U)
     if jpos_clip is not None:

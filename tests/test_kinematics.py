@@ -135,6 +135,27 @@ def test_ik_fk_roundtrip(params):
         np.testing.assert_allclose(np.array(p_rt), np.array(p_world), atol=1e-9)
 
 
+def test_ik_newton_refines_and_falls_back(params):
+    """Numeric-IK Newton fallback (misc/inverse_kinematics.m analogue):
+    refines a perturbed guess to the true answer for reachable targets, and
+    returns the guess unchanged for out-of-workspace targets."""
+    rng = np.random.default_rng(7)
+    base = jnp.asarray(np.concatenate([[0.0, 0.0, 0.35], rng.uniform(-0.2, 0.2, 3)]))
+    jpos = jnp.asarray(
+        rng.uniform(np.tile([-0.5, -1.0, 0.3], 4), np.tile([0.5, 1.0, 2.0], 4))
+    )
+    p_world = legs.foot_positions_world(params, base, jpos).reshape(12)
+    # reachable: a perturbed guess converges back to an FK-consistent answer
+    guess = jpos + 0.15 * jnp.asarray(rng.normal(size=12))
+    jp_ref = legs.inverse_kinematics_newton(params, base, p_world, guess, convention="xyz")
+    p_rt = legs.foot_positions_world(params, base, jp_ref).reshape(12)
+    np.testing.assert_allclose(np.array(p_rt), np.array(p_world), atol=1e-6)
+    # out-of-workspace: target 2 m below -> falls back to the guess
+    p_far = p_world - jnp.tile(jnp.asarray([0.0, 0.0, 2.0]), 4)
+    jp_fb = legs.inverse_kinematics_newton(params, base, p_far, guess, convention="xyz")
+    np.testing.assert_allclose(np.array(jp_fb), np.array(guess), atol=1e-12)
+
+
 def test_srbm_constants(model):
     """CRBA-derived SRBM mass/inertia at q_home match the known values."""
     mass, ib, ib_inv = srbm_constants("mc3D")
