@@ -4,12 +4,19 @@ A vmapped interior-point solve runs its `lax.while_loop` until EVERY lane
 finishes, so batch wall time is max-lane iterations — at <100% convergence
 the slowest/failed lane sets the pace and finished lanes idle (masked, not
 skipped).  This driver instead runs the solve in K-iteration **segments**
-(solver.ip.solve's state0/segment_iters mode): after each segment, finished
-lanes are harvested on the host and refilled with fresh scenarios via a
-branch-free `where(done, fresh_state, state)` — static shapes, no
-recompilation.  Throughput then scales with the *average* iteration count
-instead of the max, and failed lanes stop costing anything beyond their
-stall-detection window.
+(solver.ip.solve's state0/segment_iters mode) and refills finished lanes
+with fresh scenarios, so throughput scales with the *average* iteration
+count instead of the max.
+
+The whole harvest/refill cycle is **device-resident** (round-3 redesign):
+the scenario pool is pre-staged on device, and one jitted step function
+runs [segment -> harvest results into per-scenario slots -> assign pool
+scenarios to finished lanes -> re-initialize those lanes] with zero host
+round-trips.  The host only polls a small packed stats array, one transfer
+per segment, *after* dispatching the next segment so the transfer overlaps
+compute.  (The previous host-side driver cost ~170 ms per ~390 ms segment
+through the axon tunnel: a separate init dispatch, a 20-leaf tree-merge,
+and 4+ device->host reads per segment.)
 
 This is the serving architecture for the pod-scale Monte-Carlo config
 (BASELINE config 5); the reference's counterpart is the serial solve loop
@@ -19,11 +26,25 @@ in generate_training_data_automated.m:38 / foot_positions.m:32.
 from __future__ import annotations
 
 import time
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class _StreamCarry(NamedTuple):
+    lane_q: jnp.ndarray  # (B, 6)
+    lane_qd: jnp.ndarray  # (B, 6)
+    lane_sid: jnp.ndarray  # (B,) scenario id per lane (P = retired/dump)
+    state: object  # vmapped IPState
+    cursor: jnp.ndarray  # next unassigned pool index
+    active: jnp.ndarray  # (B,) lane owns an unharvested scenario
+    # packed per-scenario results, (4, P+1): rows = finished flag,
+    # converged flag, iterations, constraint violation; column P is the
+    # scatter dump slot for non-harvesting lanes
+    res: jnp.ndarray
+    n_finished: jnp.ndarray  # scalar, res[0, :P].sum()
 
 
 class StreamingSolver:
@@ -52,95 +73,138 @@ class StreamingSolver:
             jax.vmap(lambda q, qd, st: solver._segment_impl(q, qd, st, segment)),
         )
         self._init = jax.jit(jax.vmap(solver.init_state))
+        self._step_cache = {}
 
+    # ------------------------------------------------------------------
+    def _make_step(self, P: int):
+        """Build the fused device step for a pool of P scenarios."""
+        B = self.batch
+        solver = self.solver
+        segment = self.segment
+
+        def step(pool_q, pool_qd, carry: _StreamCarry) -> _StreamCarry:
+            summary, new_state = jax.vmap(
+                lambda q, qd, st: solver._segment_impl(q, qd, st, segment)
+            )(carry.lane_q, carry.lane_qd, carry.state)
+
+            fin = new_state.done & carry.active
+            # ---- harvest: scatter this segment's finished lanes into their
+            # scenario slots (dump slot P for everyone else)
+            sid_sc = jnp.where(fin, carry.lane_sid, P)
+            res = carry.res
+            res = res.at[0, sid_sc].set(1.0)
+            res = res.at[1, sid_sc].set(summary["converged"].astype(res.dtype))
+            res = res.at[2, sid_sc].set(summary["iterations"].astype(res.dtype))
+            res = res.at[3, sid_sc].set(summary["constr_viol"].astype(res.dtype))
+
+            # ---- refill finished lanes from the pool (prefix-sum ranks)
+            ranks = jnp.cumsum(fin.astype(jnp.int32)) - 1
+            new_sid = carry.cursor + ranks
+            refill = fin & (new_sid < P)
+            idx = jnp.clip(jnp.where(refill, new_sid, 0), 0, P - 1)
+            lane_q = jnp.where(refill[:, None], pool_q[idx], carry.lane_q)
+            lane_qd = jnp.where(refill[:, None], pool_qd[idx], carry.lane_qd)
+            lane_sid = jnp.where(refill, new_sid, jnp.where(fin, P, carry.lane_sid))
+
+            # fresh IPState for refilled lanes (computed for the whole batch
+            # — static shapes — then merged; all inside this one executable)
+            fresh = jax.vmap(solver.init_state)(lane_q, lane_qd)
+            state = jax.tree_util.tree_map(
+                lambda f, s: jnp.where(
+                    refill.reshape((B,) + (1,) * (f.ndim - 1)), f, s
+                ),
+                fresh,
+                new_state,
+            )
+            active = (carry.active & ~fin) | refill
+            cursor = jnp.minimum(carry.cursor + jnp.sum(fin.astype(jnp.int32)), P)
+            return _StreamCarry(
+                lane_q=lane_q,
+                lane_qd=lane_qd,
+                lane_sid=lane_sid,
+                state=state,
+                cursor=cursor,
+                active=active,
+                res=res,
+                n_finished=jnp.sum(res[0, :P]).astype(jnp.int32),
+            )
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
     def run(
         self,
         n_scenarios: int,
         max_wall_s: float | None = None,
         progress_cb: Callable | None = None,
     ):
-        """Solve ~n_scenarios scenarios; returns a stats dict.
+        """Solve n_scenarios scenarios; returns a stats dict.
 
-        Lanes are refilled until n_scenarios have been *started*; the run
-        drains until every started lane finishes.  Collected per finished
-        scenario: convergence flag, iterations, violation (and the IC).
-
-        progress_cb(stats_dict), if given, is invoked after every segment
-        with the cumulative stats so far — lets a caller snapshot a partial
-        result (e.g. a benchmark that must emit a number even if killed
-        mid-run).
+        The pool is sampled up-front and staged on device; lanes are
+        refilled until the pool drains, then the run drains the remaining
+        lanes.  progress_cb(stats_dict), if given, is invoked after every
+        segment with the cumulative stats so far (the stats lag the device
+        by one segment so the read overlaps compute).
         """
         B = self.batch
-        q, qd = self.sampler(B)
-        q = jnp.asarray(q, self.solver.dtype)
-        qd = jnp.asarray(qd, self.solver.dtype)
-        state = self._init(q, qd)
-        started = B
-        live = np.ones(B, bool)  # lanes whose current occupant is uncollected
-        results = {"converged": [], "iterations": [], "viol": [], "ic": []}
-        t0 = time.time()
-        n_collected = 0
-        while True:
-            summary, state = self._seg(q, qd, state)
-            done = np.asarray(summary["done"])
-            newly = done & live
-            if newly.any():
-                conv = np.asarray(summary["converged"])[newly]
-                its = np.asarray(summary["iterations"])[newly]
-                viol = np.asarray(summary["constr_viol"])[newly]
-                ics = np.concatenate([np.asarray(q)[newly], np.asarray(qd)[newly]], axis=1)
-                results["converged"].append(conv)
-                results["iterations"].append(its)
-                results["viol"].append(viol)
-                results["ic"].append(ics)
-                n_collected += int(newly.sum())
+        P = int(n_scenarios)
+        q_np, qd_np = self.sampler(P)
+        pool_q = jnp.asarray(q_np, self.solver.dtype)
+        pool_qd = jnp.asarray(qd_np, self.solver.dtype)
+        ics = np.concatenate([np.asarray(q_np), np.asarray(qd_np)], axis=1)
 
-                n_refill = min(int(newly.sum()), max(0, n_scenarios - started))
-                if n_refill:
-                    # refill the first n_refill newly-done lanes with fresh
-                    # scenarios (full-batch sample, masked rows used)
-                    refill = np.zeros(B, bool)
-                    refill[np.where(newly)[0][:n_refill]] = True
-                    nq, nqd = self.sampler(B)
-                    nq = jnp.asarray(nq, self.solver.dtype)
-                    nqd = jnp.asarray(nqd, self.solver.dtype)
-                    rmask = jnp.asarray(refill)
-                    q = jnp.where(rmask[:, None], nq, q)
-                    qd = jnp.where(rmask[:, None], nqd, qd)
-                    fresh = self._init(q, qd)
-                    state = jax.tree_util.tree_map(
-                        lambda f, s: jnp.where(
-                            rmask.reshape((B,) + (1,) * (f.ndim - 1)), f, s
-                        ),
-                        fresh,
-                        state,
-                    )
-                    started += n_refill
-                    live = (live & ~newly) | refill
-                else:
-                    live = live & ~newly
-            if progress_cb is not None:
-                progress_cb(self._stats(results, started, t0))
-            if n_collected >= n_scenarios or not live.any():
-                break
+        step = self._step_cache.get(P)
+        if step is None:
+            step = self._step_cache[P] = self._make_step(P)
+
+        first = jnp.minimum(jnp.arange(B), P - 1)
+        lane_q = pool_q[first]
+        lane_qd = pool_qd[first]
+        active0 = jnp.arange(B) < P
+        carry = _StreamCarry(
+            lane_q=lane_q,
+            lane_qd=lane_qd,
+            lane_sid=jnp.where(active0, jnp.arange(B), P),
+            state=self._init(lane_q, lane_qd),
+            cursor=jnp.asarray(min(B, P), jnp.int32),
+            active=active0,
+            res=jnp.zeros((4, P + 1), self.solver.dtype),
+            n_finished=jnp.asarray(0, jnp.int32),
+        )
+
+        t0 = time.time()
+        pending_res = None
+        while True:
+            carry = step(pool_q, pool_qd, carry)  # async dispatch
+            if pending_res is not None:
+                res_np = np.asarray(pending_res)  # overlaps the step above
+                if progress_cb is not None:
+                    progress_cb(self._stats(res_np, ics, P, B, t0))
+                if int(res_np[0, :P].sum()) >= P:
+                    break
             if max_wall_s is not None and time.time() - t0 > max_wall_s:
+                pending_res = carry.res
                 break
-        return self._stats(results, started, t0)
+            pending_res = carry.res
+        res_np = np.asarray(pending_res)
+        return self._stats(res_np, ics, P, B, t0)
 
     @staticmethod
-    def _stats(results, started, t0):
+    def _stats(res_np, ics, P, B, t0):
         wall = time.time() - t0
-        conv = np.concatenate(results["converged"]) if results["converged"] else np.zeros(0, bool)
-        its = np.concatenate(results["iterations"]) if results["iterations"] else np.zeros(0, int)
+        fin = res_np[0, :P] > 0.5
+        conv = res_np[1, :P][fin] > 0.5
+        its = res_np[2, :P][fin]
         return {
             "wall_s": wall,
-            "n_started": started,
-            "n_finished": int(conv.shape[0]),
+            "n_started": int(min(P, fin.sum() + B)),
+            "n_finished": int(fin.sum()),
             "n_converged": int(conv.sum()),
             "convergence_rate": float(conv.mean()) if conv.size else 0.0,
             "converged_per_sec": float(conv.sum() / wall),
             "iters_p50": float(np.percentile(its, 50)) if its.size else -1.0,
             "iters_p90": float(np.percentile(its, 90)) if its.size else -1.0,
-            "ics": np.concatenate(results["ic"]) if results["ic"] else np.zeros((0, 12)),
+            "ics": ics[fin],
             "converged_mask": conv,
+            "viol": res_np[3, :P][fin],
         }
