@@ -54,9 +54,13 @@ def warmstart_comparison(
             lambda q, qd: nn_warmstart_guess(nn_params, stats, q, qd, problem)
         )(qb, qdb)
 
+    # warm regimes solve on a reduced-mu_init variant (near-feasible z0;
+    # see LandingSolver.warm_variant) — the cold row keeps the full path
+    kino_warm = kino_solver.warm_variant()
+
     @jax.jit
     def nn_ws_batch(qb, qdb, z0b):
-        return jax.vmap(kino_solver._solve_impl)(qb, qdb, z0b)
+        return jax.vmap(kino_warm._solve_impl)(qb, qdb, z0b)
 
     cascade = make_cascade(srbm_solver, kino_solver)
     cascade_batch = jax.jit(jax.vmap(cascade))

@@ -37,6 +37,8 @@ class _StreamCarry(NamedTuple):
     lane_q: jnp.ndarray  # (B, 6)
     lane_qd: jnp.ndarray  # (B, 6)
     lane_sid: jnp.ndarray  # (B,) scenario id per lane (P = retired/dump)
+    lane_variant: jnp.ndarray  # (B,) cold-guess variant (retry policy)
+    lane_prev_iters: jnp.ndarray  # (B,) iterations spent in earlier attempts
     state: object  # vmapped IPState
     cursor: jnp.ndarray  # next unassigned pool index
     active: jnp.ndarray  # (B,) lane owns an unharvested scenario
@@ -53,10 +55,31 @@ class StreamingSolver:
     sampler(n) -> (q (n,6), qd (n,6)) numpy/jnp arrays of fresh scenarios.
     """
 
-    def __init__(self, solver, batch: int = 64, segment: int = 50, sampler: Callable | None = None):
+    def __init__(
+        self,
+        solver,
+        batch: int = 64,
+        segment: int = 50,
+        sampler: Callable | None = None,
+        retry_failed: bool = True,
+        attempt_iters: tuple = (100, 150),
+    ):
         self.solver = solver
         self.batch = batch
         self.segment = segment
+        # retry policy: a scenario whose first attempt fails is re-solved
+        # once in place with the alternate cold-guess family before being
+        # recorded (measured: rescues ~1/3 of ballistic-guess failures);
+        # its recorded iteration count is the SUM over attempts, so the
+        # throughput metric pays for the retries honestly
+        self.retry_failed = retry_failed
+        # per-attempt iteration deadlines (first, retry): non-converging
+        # lanes evade the in-solver stall detector (they keep scraping >10%
+        # off their best score per window without ever converging) and
+        # would otherwise burn the full max_iter TWICE per failed scenario;
+        # converged lanes finish at p50 ~60, so a ~2.5x-p50 deadline costs
+        # almost no real convergences while halving the failure tax
+        self.attempt_iters = attempt_iters
         if sampler is None:
             from ..warmstart.reference import sample_drop_scenario
 
@@ -82,19 +105,35 @@ class StreamingSolver:
         solver = self.solver
         segment = self.segment
 
+        retry = self.retry_failed
+        a1, a2 = self.attempt_iters
+
         def step(pool_q, pool_qd, carry: _StreamCarry) -> _StreamCarry:
             summary, new_state = jax.vmap(
-                lambda q, qd, st: solver._segment_impl(q, qd, st, segment)
-            )(carry.lane_q, carry.lane_qd, carry.state)
+                lambda q, qd, st, v: solver._segment_impl(q, qd, st, segment, v)
+            )(carry.lane_q, carry.lane_qd, carry.state, carry.lane_variant)
 
-            fin = new_state.done & carry.active
+            conv = summary["converged"]
+            # per-attempt deadline: lanes past their budget are failed NOW
+            deadline = jnp.where(carry.lane_variant == 0, a1, a2)
+            timed_out = ~new_state.done & (new_state.it >= deadline) & ~conv
+            done = (new_state.done | timed_out) & carry.active
+            if retry:
+                # failed first attempts are re-solved in place with the
+                # alternate cold guess instead of being recorded
+                retrying = done & ~conv & (carry.lane_variant == 0)
+            else:
+                retrying = jnp.zeros_like(done)
+            fin = done & ~retrying
+            total_iters = summary["iterations"] + carry.lane_prev_iters
+
             # ---- harvest: scatter this segment's finished lanes into their
             # scenario slots (dump slot P for everyone else)
             sid_sc = jnp.where(fin, carry.lane_sid, P)
             res = carry.res
             res = res.at[0, sid_sc].set(1.0)
-            res = res.at[1, sid_sc].set(summary["converged"].astype(res.dtype))
-            res = res.at[2, sid_sc].set(summary["iterations"].astype(res.dtype))
+            res = res.at[1, sid_sc].set(conv.astype(res.dtype))
+            res = res.at[2, sid_sc].set(total_iters.astype(res.dtype))
             res = res.at[3, sid_sc].set(summary["constr_viol"].astype(res.dtype))
 
             # ---- refill finished lanes from the pool (prefix-sum ranks)
@@ -105,13 +144,21 @@ class StreamingSolver:
             lane_q = jnp.where(refill[:, None], pool_q[idx], carry.lane_q)
             lane_qd = jnp.where(refill[:, None], pool_qd[idx], carry.lane_qd)
             lane_sid = jnp.where(refill, new_sid, jnp.where(fin, P, carry.lane_sid))
+            lane_variant = jnp.where(
+                refill, 0, jnp.where(retrying, 1, carry.lane_variant)
+            )
+            lane_prev_iters = jnp.where(
+                refill, 0, jnp.where(retrying, total_iters, carry.lane_prev_iters)
+            )
 
-            # fresh IPState for refilled lanes (computed for the whole batch
-            # — static shapes — then merged; all inside this one executable)
-            fresh = jax.vmap(solver.init_state)(lane_q, lane_qd)
+            # fresh IPState for refilled/retrying lanes (computed for the
+            # whole batch — static shapes — then merged; all inside this one
+            # executable)
+            reinit = refill | retrying
+            fresh = jax.vmap(solver.init_state)(lane_q, lane_qd, lane_variant)
             state = jax.tree_util.tree_map(
                 lambda f, s: jnp.where(
-                    refill.reshape((B,) + (1,) * (f.ndim - 1)), f, s
+                    reinit.reshape((B,) + (1,) * (f.ndim - 1)), f, s
                 ),
                 fresh,
                 new_state,
@@ -122,6 +169,8 @@ class StreamingSolver:
                 lane_q=lane_q,
                 lane_qd=lane_qd,
                 lane_sid=lane_sid,
+                lane_variant=lane_variant,
+                lane_prev_iters=lane_prev_iters,
                 state=state,
                 cursor=cursor,
                 active=active,
@@ -161,11 +210,14 @@ class StreamingSolver:
         lane_q = pool_q[first]
         lane_qd = pool_qd[first]
         active0 = jnp.arange(B) < P
+        v0 = jnp.zeros(B, jnp.int32)
         carry = _StreamCarry(
             lane_q=lane_q,
             lane_qd=lane_qd,
             lane_sid=jnp.where(active0, jnp.arange(B), P),
-            state=self._init(lane_q, lane_qd),
+            lane_variant=v0,
+            lane_prev_iters=v0,
+            state=self._init(lane_q, lane_qd, v0),
             cursor=jnp.asarray(min(B, P), jnp.int32),
             active=active0,
             res=jnp.zeros((4, P + 1), self.solver.dtype),

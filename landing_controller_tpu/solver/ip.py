@@ -97,6 +97,16 @@ class IPConfig:
     # detection one hopeless lane pins the whole batch at max_iter (the
     # dominant wall-time cost at <100% convergence).  0 disables.
     stall_min_iter: int = 60  # never declare failure before this iteration
+    stall_restarts: int = 2  # best-iterate restarts before declaring failure:
+    # at a stall boundary the lane first RESTORES (z, s, lam, y) from its
+    # best-scoring snapshot with the filter cleared and the inertia shift
+    # bumped — a bounded retry from the last good point (IPOPT's
+    # restoration-phase analogue) — and only fails after this many restarts
+    # didn't help.  Keying the restore on the stall window (not on raw
+    # score growth) matters: the mu=0 KKT error legitimately spikes 100x+
+    # mid-homotopy on healthy solves, while true divergence (exploded
+    # duals, wandering filter acceptances on hard drops) persists across a
+    # whole window.  0 keeps round-2 behavior (fail at first stall).
     stall_grace: float = 50.0  # never stall-kill a lane whose best score is
     # within stall_grace * tol: slow endgame creep (degenerate LCP duals
     # converge a few %/window) is progress, not hopelessness
@@ -159,9 +169,14 @@ class IPState(NamedTuple):
     filt_ptr: jnp.ndarray  # next filter slot
     it: jnp.ndarray
     done: jnp.ndarray
-    best_score: jnp.ndarray  # best viol+kkt seen (stall detector)
+    best_score: jnp.ndarray  # best viol+kkt seen (stall detector + restore)
+    best_z: jnp.ndarray  # best-scoring iterate (explosion restore point)
+    best_s: jnp.ndarray
+    best_lam: jnp.ndarray
+    best_y: jnp.ndarray
     snap_score: jnp.ndarray  # best score at the last window snapshot
     snap_mu: jnp.ndarray  # mu at the last window snapshot
+    n_restores: jnp.ndarray  # stall-restart count (see IPConfig.stall_restarts)
     kkt_hist: jnp.ndarray
     mu_hist: jnp.ndarray
     alpha_hist: jnp.ndarray
@@ -449,8 +464,13 @@ def solve(
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         best_score=big,
+        best_z=z0,
+        best_s=s_init,
+        best_lam=lam_init,
+        best_y=y_init,
         snap_score=big,
         snap_mu=jnp.asarray(cfg.mu_init, dtype),
+        n_restores=jnp.asarray(0, jnp.int32),
         kkt_hist=jnp.zeros(cfg.max_iter, dtype),
         mu_hist=jnp.zeros(cfg.max_iter, dtype),
         alpha_hist=jnp.zeros(cfg.max_iter, dtype),
@@ -631,6 +651,17 @@ def solve(
         filt_phi_new = jnp.where(collapsed, jnp.full_like(filt_phi_new, -big), filt_phi_new)
         filt_ptr_new = jnp.where(collapsed, 0, filt_ptr_new)
 
+        # ---- best-iterate snapshot (stall-restart restore point): score
+        # measured at the CURRENT iterate, so the snapshot is the pre-step
+        # state of the best iteration seen
+        score = viol + kkt_err0
+        is_best = score < st.best_score
+        snap = lambda cur, old: jnp.where(is_best, cur, old)
+        best_z_new = snap(z, st.best_z)
+        best_s_new = snap(s, st.best_s)
+        best_lam_new = snap(lam, st.best_lam)
+        best_y_new = snap(y, st.best_y)
+
         # ---- barrier update
         if cfg.mu_strategy == "loqo":
             # adaptive centrality rule (LOQO / IPOPT mu_oracle='loqo'),
@@ -643,6 +674,11 @@ def solve(
                 0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-12), 2.0
             ) ** 3
             mu_new = jnp.clip(sig_c * avg, cfg.mu_min, cfg.mu_init)
+            # rate-limit the decrease to kappa_mu per iteration: the MPCC
+            # relaxation rides mu (relax_scale), so a cliff-drop in mu
+            # rips the complementarity relaxation out from under lanes that
+            # haven't discovered their active set yet (hard-drop failures)
+            mu_new = jnp.maximum(mu_new, cfg.kappa_mu * mu)
         else:
             # monotone Fiacco-McCormick with superlinear decrease
             barrier_err, _ = _kkt_error_rd(r_d, E, g, s, lam, y, mu)
@@ -663,23 +699,54 @@ def solve(
         # window boundary, a lane whose best viol+kkt score improved < 10%
         # over the window while mu never moved has stalled inside a barrier
         # stage (IPOPT's analogue: restoration failure) -> freeze as FAILED
-        score = viol + kkt_err0
         best_new = jnp.minimum(st.best_score, score)
         if cfg.stall_window > 0:
             at_boundary = (st.it + 1) % cfg.stall_window == 0
-            stalled = (
+            # "barrier stage unchanged" guard: under the monotone rule mu is
+            # piecewise constant, so equality is the right test; under loqo
+            # mu moves every iteration and equality NEVER holds — a stalled
+            # loqo lane then burns its whole budget (observed: loqo failures
+            # all ran to max_iter).  For loqo, treat "mu not meaningfully
+            # lower than at the snapshot" as the unchanged-stage condition.
+            if cfg.mu_strategy == "loqo":
+                mu_same_stage = mu_new > 0.5 * st.snap_mu
+            else:
+                mu_same_stage = mu_new == st.snap_mu
+            stalled_raw = (
                 at_boundary
                 & (best_new > 0.9 * st.snap_score)
                 & (best_new > cfg.stall_grace * cfg.tol)
-                & (mu_new == st.snap_mu)
+                & mu_same_stage
                 & (st.it >= cfg.stall_min_iter)
             )
+            # first stall_restarts stalls RESTORE the best iterate and retry
+            # (bumped inertia shift, cleared filter) instead of failing
+            do_restore = stalled_raw & (st.n_restores < cfg.stall_restarts)
+            stalled = stalled_raw & ~do_restore
+            z_new = jnp.where(do_restore, best_z_new, z_new)
+            s_new = jnp.where(do_restore, best_s_new, s_new)
+            lam_new = jnp.where(do_restore, best_lam_new, lam_new)
+            y_new = jnp.where(do_restore, best_y_new, y_new)
+            delta_new = jnp.where(
+                do_restore,
+                jnp.minimum(jnp.maximum(delta_used, cfg.delta_w_fail) * 30.0, 1e6),
+                delta_new,
+            )
+            filt_theta_new = jnp.where(
+                do_restore, jnp.full_like(filt_theta_new, theta_max), filt_theta_new
+            )
+            filt_phi_new = jnp.where(
+                do_restore, jnp.full_like(filt_phi_new, -big), filt_phi_new
+            )
+            filt_ptr_new = jnp.where(do_restore, 0, filt_ptr_new)
+            n_restores_new = st.n_restores + do_restore.astype(jnp.int32)
             snap_score_new = jnp.where(at_boundary, best_new, st.snap_score)
             snap_mu_new = jnp.where(at_boundary, mu_new, st.snap_mu)
         else:
             stalled = jnp.asarray(False)
             snap_score_new = st.snap_score
             snap_mu_new = st.snap_mu
+            n_restores_new = st.n_restores
 
         # freeze once converged (or hopeless)
         keep = st.done | converged | stalled
@@ -697,8 +764,13 @@ def solve(
             it=st.it + 1,
             done=keep,
             best_score=best_new,
+            best_z=upd(best_z_new, st.best_z),
+            best_s=upd(best_s_new, st.best_s),
+            best_lam=upd(best_lam_new, st.best_lam),
+            best_y=upd(best_y_new, st.best_y),
             snap_score=jnp.where(keep, st.snap_score, snap_score_new),
             snap_mu=jnp.where(keep, st.snap_mu, snap_mu_new),
+            n_restores=jnp.where(keep, st.n_restores, n_restores_new),
             kkt_hist=st.kkt_hist.at[st.it % cfg.max_iter].set(kkt_err0),
             mu_hist=st.mu_hist.at[st.it % cfg.max_iter].set(mu),
             alpha_hist=st.alpha_hist.at[st.it % cfg.max_iter].set(jnp.where(keep, 0.0, alpha)),
