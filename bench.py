@@ -150,6 +150,8 @@ def main():
         # at p50 ~60 — restore at ~80/120, declare failure at ~160
         stall_window=int(os.environ.get("BENCH_STALL_WINDOW", "40")),
         stall_min_iter=int(os.environ.get("BENCH_STALL_MIN", "40")),
+        matmul_precision=os.environ.get("BENCH_PREC", "highest"),
+        corrector=int(os.environ.get("BENCH_CORR", "0")),
     )
     # ballistic cold-start guess: integrates the flight phase instead of
     # decelerating from knot 0 (the reference's linspace guess) — measured

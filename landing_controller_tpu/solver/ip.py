@@ -110,6 +110,10 @@ class IPConfig:
     stall_grace: float = 50.0  # never stall-kill a lane whose best score is
     # within stall_grace * tol: slow endgame creep (degenerate LCP duals
     # converge a few %/window) is progress, not hopelessness
+    corrector: int = 0  # second-order complementarity corrections per
+    # iteration (Mehrotra/Gondzio): each re-solves the SAME KKT factors
+    # with the -(ds o dlam)/s term and keeps the corrected direction only
+    # where it lengthens the fraction-to-boundary step
     refine_steps: int = 1  # iterative refinement of the KKT solve
     # inertia-correction ladder: the candidate shifts factorized in parallel
     # each iteration.  0.0 -> the delta_w floor; s > 0 -> s * delta_last
@@ -119,6 +123,11 @@ class IPConfig:
     # work every iteration (IPOPT re-factors inside an iteration; we
     # amortize across iterations to stay branch-free).
     ladder_scales: tuple = (0.0, 1.0, 10.0, 1000.0)
+    matmul_precision: str = "highest"  # f32 matmul emulation on the MXU:
+    # "highest" = bf16x6 (near-f32), "high" = bf16x3 (~half the MXU work,
+    # ~3e-7 -> ~1e-6 relative error).  The KKT factor/solve tolerates
+    # "high" when iterative refinement is on; measured on the bench before
+    # switching any default.
     kkt_backend: str = "scan"  # structured KKT: "scan" (sequential block
     # LDL' sweep) or "cr" (block cyclic reduction — log-depth, batched
     # factor/update per level; the TPU-friendly choice)
@@ -216,7 +225,8 @@ def _solve_kkt(H0, Je, rhs_z, rhs_y, delta_last, cfg):
     and a quasi-definite system solvable by two PD Cholesky factorizations —
     much friendlier to f32/TPU than an indefinite LU.
 
-    Returns (dz, dy, delta_used).
+    Returns (dz, dy, delta_used, resolve) where ``resolve(rhs_z, rhs_y)``
+    re-solves with the SAME factorization (corrector steps).
     """
     n = rhs_z.shape[0]
     dtype = H0.dtype
@@ -278,19 +288,23 @@ def _solve_kkt(H0, Je, rhs_z, rhs_y, delta_last, cfg):
     def ssolve(b):
         return jax.scipy.linalg.cho_solve((Ls_s, True), b * dSinv) * dSinv
 
-    rhs_s = Je @ hsolve(rhs_z) - rhs_y
-    dy = ssolve(rhs_s)
-    dz = hsolve(rhs_z - Je.T @ dy)
     Hd = H0 + delta_used * (dH * dH)[None, :] * eye  # actual shifted matrix
-    for _ in range(cfg.refine_steps):
-        # one step of iterative refinement on the full KKT system
-        r_z = rhs_z - (Hd @ dz + Je.T @ dy)
-        r_y = rhs_y - (Je @ dz - delta_c * dy)
-        ddy = ssolve(Je @ hsolve(r_z) - r_y)
-        ddz = hsolve(r_z - Je.T @ ddy)
-        dz = dz + ddz
-        dy = dy + ddy
-    return dz, dy, delta_used
+
+    def resolve(rhs_z_v, rhs_y_v):
+        dy_v = ssolve(Je @ hsolve(rhs_z_v) - rhs_y_v)
+        dz_v = hsolve(rhs_z_v - Je.T @ dy_v)
+        for _ in range(cfg.refine_steps):
+            # one step of iterative refinement on the full KKT system
+            r_z = rhs_z_v - (Hd @ dz_v + Je.T @ dy_v)
+            r_y = rhs_y_v - (Je @ dz_v - delta_c * dy_v)
+            ddy = ssolve(Je @ hsolve(r_z) - r_y)
+            ddz = hsolve(r_z - Je.T @ ddy)
+            dz_v = dz_v + ddz
+            dy_v = dy_v + ddy
+        return dz_v, dy_v
+
+    dz, dy = resolve(rhs_z, rhs_y)
+    return dz, dy, delta_used, resolve
 
 
 def solve(
@@ -349,10 +363,9 @@ def solve(
             return base_ineq_fn
 
     # TPU: f32 matmuls default to bf16 MXU passes - fatal for KKT solves.
-    # Trace everything below at full f32 precision (3-pass emulation).
-    import contextlib
-
-    _prec = jax.default_matmul_precision("highest")
+    # Trace everything below at raised precision (bf16x6 'highest' by
+    # default; 'high' = bf16x3 halves MXU passes — see IPConfig).
+    _prec = jax.default_matmul_precision(cfg.matmul_precision)
 
     grad_f_fn = jax.grad(cost_fn)
     Je_fn = jax.jacfwd(eq_fn)
@@ -515,7 +528,7 @@ def solve(
         r_g = g - s
         rhs_z = -(r_d) + vjp_ineq(z, mu / s - lam - sigma * r_g)
         rhs_y = -E
-        dz, dy, delta_used = newton_step_fn(
+        dz, dy, delta_used, resolve = newton_step_fn(
             z, y, lam, sigma, mu, use_exact, r_d, r_g, rhs_z, rhs_y, st.delta
         )
         ds = jvp_ineq(z, dz) + r_g
@@ -538,6 +551,31 @@ def solve(
         s_pinned = s <= 2.0 * cfg.slack_floor * mu
         alpha_s = max_step(s, ds, pinned=s_pinned)
         alpha_lam = max_step(lam, dlam)
+
+        # ---- second-order (Mehrotra/Gondzio-style) complementarity
+        # corrector: re-solve with the SAME factorization, adding the
+        # -(ds o dlam)/s term the Newton linearization of S Lam e = mu e
+        # drops.  The corrected direction is kept only where it lengthens
+        # the fraction-to-boundary step (Gondzio's acceptance test) —
+        # branch-free per lane.  One extra backsolve per correction; the
+        # factorization (the expensive part) is reused.
+        for _ in range(cfg.corrector):
+            corr = -(ds * dlam) / s
+            dz_c, dy_c = resolve(rhs_z + vjp_ineq(z, corr), rhs_y)
+            ds_c = jvp_ineq(z, dz_c) + r_g
+            dlam_c = mu / s - lam + corr - sigma * ds_c
+            alpha_s_c = max_step(s, ds_c, pinned=s_pinned)
+            alpha_lam_c = max_step(lam, dlam_c)
+            better_c = (
+                jnp.minimum(alpha_s_c, alpha_lam_c)
+                >= jnp.minimum(alpha_s, alpha_lam)
+            ) & jnp.all(jnp.isfinite(dz_c)) & jnp.all(jnp.isfinite(dlam_c))
+            dz = jnp.where(better_c, dz_c, dz)
+            dy = jnp.where(better_c, dy_c, dy)
+            ds = jnp.where(better_c, ds_c, ds)
+            dlam = jnp.where(better_c, dlam_c, dlam)
+            alpha_s = jnp.where(better_c, alpha_s_c, alpha_s)
+            alpha_lam = jnp.where(better_c, alpha_lam_c, alpha_lam)
 
         # ---- filter line search (Waechter-Biegler 2006, the IPOPT
         # globalization the reference's tuned option block relies on).

@@ -368,40 +368,44 @@ def make_structured_newton_step(problem, theta, cfg, snlp):
             out = out.at[:-1].add(jnp.einsum("kji,kj->ki", Cs_u, xb[1:]))
             return out
 
-        # ---- rhs in block layout -----------------------------------------
-        rz_blocks = z_to_blocks(rhs_z)
-        b = jnp.zeros((nb, bs), dtp)
-        b = b.at[:, :nw].set(rz_blocks)
-        b = b.at[: n - 1, nw : nw + 12].set(
-            rhs_y[nh : nh + 12 * (n - 1)].reshape(n - 1, 12)
-        )
-        if nsch:
-            b = b.at[: n - 1, nw + 12 : nw + 16].set(
-                rhs_y[off_gd : off_gd + 4 * (n - 1)].reshape(n - 1, 4)
+        # ---- rhs in block layout; resolve() reuses the factorization for
+        # second-order corrector re-solves (solver.ip corrector)
+        def resolve(rhs_z_v, rhs_y_v):
+            rz_blocks = z_to_blocks(rhs_z_v)
+            b = jnp.zeros((nb, bs), dtp)
+            b = b.at[:, :nw].set(rz_blocks)
+            b = b.at[: n - 1, nw : nw + 12].set(
+                rhs_y_v[nh : nh + 12 * (n - 1)].reshape(n - 1, 12)
             )
-            b = b.at[: n - 1, nw + 16 : nw + 28].set(
-                rhs_y[off_gd + 4 * (n - 1) :].reshape(n - 1, 12)
-            )
-        b = b.at[0, nw + 12 + nsch : nw + 12 + nsch + nh].set(rhs_y[:nh])
-        b_s = b * d_block
+            if nsch:
+                b = b.at[: n - 1, nw + 12 : nw + 16].set(
+                    rhs_y_v[off_gd : off_gd + 4 * (n - 1)].reshape(n - 1, 4)
+                )
+                b = b.at[: n - 1, nw + 16 : nw + 28].set(
+                    rhs_y_v[off_gd + 4 * (n - 1) :].reshape(n - 1, 12)
+                )
+            b = b.at[0, nw + 12 + nsch : nw + 12 + nsch + nh].set(rhs_y_v[:nh])
+            b_s = b * d_block
 
-        x_s = solve_fn(fac, b_s)
-        for _ in range(cfg.refine_steps):
-            # blockwise iterative refinement (f32: the block Schur sweeps
-            # accumulate rounding error along the horizon)
-            r = b_s - K_mul(x_s)
-            x_s = x_s + solve_fn(fac, r)
-        x = x_s * d_block
+            x_s = solve_fn(fac, b_s)
+            for _ in range(cfg.refine_steps):
+                # blockwise iterative refinement (f32: the block Schur
+                # sweeps accumulate rounding error along the horizon)
+                r = b_s - K_mul(x_s)
+                x_s = x_s + solve_fn(fac, r)
+            x = x_s * d_block
 
-        dz = blocks_to_z(x[:, :nw])
-        dy_parts = [
-            x[0, nw + 12 + nsch : nw + 12 + nsch + nh],
-            x[: n - 1, nw : nw + 12].reshape(-1),
-        ]
-        if nsch:
-            dy_parts.append(x[: n - 1, nw + 12 : nw + 16].reshape(-1))
-            dy_parts.append(x[: n - 1, nw + 16 : nw + 28].reshape(-1))
-        dy = jnp.concatenate(dy_parts)
-        return dz, dy, delta_used
+            dz = blocks_to_z(x[:, :nw])
+            dy_parts = [
+                x[0, nw + 12 + nsch : nw + 12 + nsch + nh],
+                x[: n - 1, nw : nw + 12].reshape(-1),
+            ]
+            if nsch:
+                dy_parts.append(x[: n - 1, nw + 12 : nw + 16].reshape(-1))
+                dy_parts.append(x[: n - 1, nw + 16 : nw + 28].reshape(-1))
+            return dz, jnp.concatenate(dy_parts)
+
+        dz, dy = resolve(rhs_z, rhs_y)
+        return dz, dy, delta_used, resolve
 
     return newton_step
