@@ -52,3 +52,48 @@ def generate_training_data(cascade_fn, n_samples: int, key=None, batch_size: int
         "U": np.concatenate(Us),
         "jpos": np.concatenate(jposs),
     }
+
+
+def generate_training_data_streaming(
+    solver, n_samples: int, key=None, batch: int = 64, segment: int = 50,
+    max_wall_s: float | None = None,
+):
+    """Streaming training-data factory: device-resident scenario pool with
+    continuous lane refill (parallel/stream.py, collect_z) instead of the
+    vmapped cascade — throughput follows the AVERAGE iteration count, so
+    generating thousands of converged kinodynamic solutions takes minutes
+    where the max-lane batched cascade took an hour.
+
+    solver: a kinodynamic LandingSolver (cold solves; its convergence mask
+    replaces the reference's human gate).  Returns the same dict as
+    :func:`generate_training_data`.
+    """
+    from ..parallel.stream import StreamingSolver
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key_box = [key]
+
+    def sampler(n):
+        key_box[0], sub = jax.random.split(key_box[0])
+        keys = jax.random.split(sub, n)
+        return jax.vmap(sample_drop_scenario)(keys)
+
+    ss = StreamingSolver(
+        solver, batch=batch, segment=segment, sampler=sampler, collect_z=True
+    )
+    stats = ss.run(n_samples, max_wall_s=max_wall_s)
+    ok = stats["converged_mask"]
+    z = stats["z"][ok]
+    ics = stats["ics"][ok]
+    prob = solver.problem
+    Xs, Us, Js = [], [], []
+    for zi in z:
+        v = prob.unpack(jnp.asarray(zi))
+        Xs.append(np.asarray(v.X)); Us.append(np.asarray(v.U)); Js.append(np.asarray(v.jpos))
+    return {
+        "inputs": np.concatenate([ics[:, 3:6], ics[:, 6:12]], axis=1),
+        "X": np.stack(Xs),
+        "U": np.stack(Us),
+        "jpos": np.stack(Js),
+    }

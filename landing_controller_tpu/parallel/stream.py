@@ -46,6 +46,7 @@ class _StreamCarry(NamedTuple):
     # converged flag, iterations, constraint violation; column P is the
     # scatter dump slot for non-harvesting lanes
     res: jnp.ndarray
+    res_z: jnp.ndarray  # (P+1, n_vars) harvested solutions (collect_z) or (P+1, 0)
     n_finished: jnp.ndarray  # scalar, res[0, :P].sum()
 
 
@@ -63,6 +64,7 @@ class StreamingSolver:
         sampler: Callable | None = None,
         retry_failed: bool = True,
         attempt_iters: tuple = (100, 150),
+        collect_z: bool = False,
     ):
         self.solver = solver
         self.batch = batch
@@ -80,6 +82,10 @@ class StreamingSolver:
         # converged lanes finish at p50 ~60, so a ~2.5x-p50 deadline costs
         # almost no real convergences while halving the failure tax
         self.attempt_iters = attempt_iters
+        # collect_z: also scatter each finished scenario's solution vector
+        # into a device-resident (P, n_vars) result array (the streaming
+        # training-data factory path)
+        self.collect_z = collect_z
         if sampler is None:
             from ..warmstart.reference import sample_drop_scenario
 
@@ -131,6 +137,11 @@ class StreamingSolver:
             # scenario slots (dump slot P for everyone else)
             sid_sc = jnp.where(fin, carry.lane_sid, P)
             res = carry.res
+            res_z = (
+                carry.res_z.at[sid_sc].set(summary["z"])
+                if self.collect_z
+                else carry.res_z
+            )
             res = res.at[0, sid_sc].set(1.0)
             res = res.at[1, sid_sc].set(conv.astype(res.dtype))
             res = res.at[2, sid_sc].set(total_iters.astype(res.dtype))
@@ -175,6 +186,7 @@ class StreamingSolver:
                 cursor=cursor,
                 active=active,
                 res=res,
+                res_z=res_z,
                 n_finished=jnp.sum(res[0, :P]).astype(jnp.int32),
             )
 
@@ -221,6 +233,10 @@ class StreamingSolver:
             cursor=jnp.asarray(min(B, P), jnp.int32),
             active=active0,
             res=jnp.zeros((4, P + 1), self.solver.dtype),
+            res_z=jnp.zeros(
+                (P + 1, self.solver.problem.n_vars if self.collect_z else 0),
+                self.solver.dtype,
+            ),
             n_finished=jnp.asarray(0, jnp.int32),
         )
 
@@ -239,7 +255,10 @@ class StreamingSolver:
                 break
             pending_res = carry.res
         res_np = np.asarray(pending_res)
-        return self._stats(res_np, ics, P, B, t0)
+        out = self._stats(res_np, ics, P, B, t0)
+        if self.collect_z:
+            out["z"] = np.asarray(carry.res_z)[:P][res_np[0, :P] > 0.5]
+        return out
 
     @staticmethod
     def _stats(res_np, ics, P, B, t0):

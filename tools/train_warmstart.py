@@ -58,10 +58,17 @@ def main():
 
     srbm = LandingSolver("srbm_lcp", dtype=jnp.float32, structured=True, config=mk_cfg(200))
     kino = LandingSolver("kinodynamic", dtype=jnp.float32, structured=True, config=mk_cfg(200))
-    cascade = make_cascade(srbm, kino)
+
+    # streaming factory (device-resident refill): cold kinodynamic solves
+    # converge at ~0.8 on the factory distribution and stream at the
+    # average iteration count — the batched max-lane cascade could not
+    # produce 5k+ samples inside a TPU session budget
+    from landing_controller_tpu.data.factory import generate_training_data_streaming
 
     t0 = time.time()
-    data = generate_training_data(cascade, n_samples, batch_size=batch)
+    data = generate_training_data_streaming(
+        kino, n_samples, batch=batch, max_wall_s=float(os.environ.get("DATA_WALL_S", "1200"))
+    )
     m = data["inputs"].shape[0]
     print(f"[data] {m}/{n_samples} converged samples in {time.time()-t0:.0f}s", flush=True)
     np.savez_compressed("/tmp/training_data_landing.npz", **data)
