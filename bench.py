@@ -17,81 +17,228 @@ ops/pallas_blocks.py + ops/cr_inverse.py) — the TPU replacement for the
 reference's IPOPT/KNITRO native sparse KKT factorization
 (quadruped_SRBM_NLP.m:253-292).
 
-Robustness contract (round-2 verdict weak-#1): this process GUARANTEES a
-JSON line on stdout as long as it isn't SIGKILLed —
-- a cumulative-stats snapshot is taken after every streaming segment,
-- SIGTERM/SIGINT (e.g. the driver's `timeout`) and a self-imposed
-  SIGALRM wall budget (BENCH_TOTAL_S, default 420 s incl. compile) print
-  the latest snapshot and exit 0,
-- total work is sized to finish well inside the budget on a warm
-  persistent compile cache (.jax_cache), and the snapshot path covers the
-  cold-cache case.
+Robustness architecture (rounds 2-3 postmortem):
+- The axon TPU tunnel nondeterministically WEDGES at an early device op:
+  the process sleeps on a relay socket inside a blocking C call, so
+  in-process SIGALRM/SIGTERM handlers never run (Python delivers signals
+  only between bytecodes).  Both prior rounds' official bench runs died
+  this way (r2 rc=124, r3 honest-0.0).
+- Therefore this script is a PARENT WATCHDOG that never imports jax: it
+  spawns the measurement worker (`bench.py --worker`), reads heartbeat
+  ("#hb <phase>") and snapshot (JSON) lines from its stdout, kills the
+  worker's process group on a wedge (no tpu_ok within BENCH_TPU_OK_S, or
+  no first measurement within BENCH_COMPILE_S after tpu_ok) and retries.
+  Observed: a wedged attempt's immediate retry succeeds.
+- The parent ALWAYS prints exactly one JSON line to stdout and exits 0:
+  the latest worker snapshot, else an honest zero row.  SIGTERM/SIGINT to
+  the parent (the driver's timeout) trigger the same emission — the
+  parent is never inside a blocking device call, so its handlers run.
+- Compile cost is bounded by the committed warm XLA cache (bench_cache/,
+  runtime/artifact.py enable_persistent_cache): a cache hit turns the
+  multi-minute XLA compile into a multi-second load (measured 1.7s ->
+  0.1s on a probe; the worker reports `compile_s` either way), the
+  reference's ".casadi artifact" analogue
+  (generate_landingCtrller_IPOPT_warmstart.m:278-366).
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
+import threading
 import time
-
-import numpy as np
 
 BASELINE_PER_CHIP = 125.0  # north star 1000 solves/s on 8 chips
 
-_printed = False
-_best = None  # latest stats snapshot (always print-ready)
+ZERO_ROW = {
+    "metric": "converged_landing_solves_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "solves/s",
+    "vs_baseline": 0.0,
+    "note": "no measurement (all attempts wedged or killed during compile)",
+}
 
 
-def _emit():
-    global _printed
-    if _printed:
-        return
-    _printed = True
-    if _best is None:
-        # nothing measured (killed during compile): still emit an honest row
-        print(
-            json.dumps(
-                {
-                    "metric": "converged_landing_solves_per_sec_per_chip",
-                    "value": 0.0,
-                    "unit": "solves/s",
-                    "vs_baseline": 0.0,
-                    "note": "killed before first measurement (compile phase)",
-                }
-            ),
-            flush=True,
+# ======================================================================
+# parent watchdog (no jax; signals always deliverable)
+# ======================================================================
+
+def parent_main():
+    budget = float(os.environ.get("BENCH_TOTAL_S", "420"))
+    # hard budget: while NO measurement exists, keep retrying past the soft
+    # budget up to this wall.  Exceeding the driver's own timeout is safe:
+    # GNU timeout signals the whole process group, this parent's SIGTERM
+    # handler prints the best row before dying, and the driver reads it
+    # from the output tail.  With a measurement in hand, exit at the soft
+    # budget with rc=0 (the clean r3-style capture).
+    hard_s = float(os.environ.get("BENCH_HARD_S", "1500"))
+    tpu_ok_s = float(os.environ.get("BENCH_TPU_OK_S", "90"))
+    compile_s = float(os.environ.get("BENCH_COMPILE_S", "270"))
+    # mid-phase wedge detector: the wedged process freezes (sleeps on the
+    # relay socket), so its CPU clock stops; a healthy compile phase keeps
+    # ticking (tracing, staging, small jits) except during the one big
+    # remote XLA compile (~45-60 s of CPU silence).  Kill when BOTH the
+    # stdout heartbeat AND the CPU clock have been silent this long.
+    cpu_stall_s = float(os.environ.get("BENCH_CPU_STALL_S", "150"))
+    reserve_s = 15.0  # kept back for the final kill+print
+    t0 = time.time()
+    t_end = t0 + budget
+    t_hard = t0 + max(hard_s, budget)
+
+    state = {"best": None, "printed": False}
+    lock = threading.Lock()
+
+    def emit():
+        with lock:
+            if state["printed"]:
+                return
+            state["printed"] = True
+            row = state["best"] if state["best"] is not None else ZERO_ROW
+            print(json.dumps(row), flush=True)
+
+    child_pgid = [None]
+
+    def kill_child(sig=signal.SIGKILL):
+        pgid = child_pgid[0]
+        if pgid is not None:
+            try:
+                os.killpg(pgid, sig)
+            except (ProcessLookupError, PermissionError):
+                pass
+
+    def on_signal(signum, frame):
+        emit()
+        kill_child()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    attempt = 0
+    while attempt < 8:
+        now = time.time()
+        # soft budget governs when a measurement exists; the hard budget
+        # governs the nothing-measured case (emission on SIGTERM covers a
+        # driver kill during the extension)
+        stop_at = t_end if state["best"] is not None else t_hard
+        if now > stop_at - reserve_s:
+            break
+        attempt += 1
+        if attempt > 1:
+            time.sleep(15.0)  # let the relay clear the killed session
+        # the worker sizes its measured run to this deadline: the soft end
+        # while it is still reachable, else one more ~4-minute window
+        deadline_cap = min(max(t_end, time.time() + 240.0), t_hard)
+        env = dict(os.environ)
+        env["BENCH_WORKER_DEADLINE"] = str(deadline_cap - reserve_s)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+            start_new_session=True,  # own process group -> killable tree
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-    else:
-        print(json.dumps(_best), flush=True)
+        child_pgid[0] = proc.pid
+        hb = {"t": time.time(), "tpu_ok": None, "measured": False}
+
+        def reader():
+            for line in proc.stdout:
+                line = line.strip()
+                if not line:
+                    continue
+                hb["t"] = time.time()
+                if line.startswith("#hb"):
+                    if "tpu_ok" in line and hb["tpu_ok"] is None:
+                        hb["tpu_ok"] = time.time()
+                    print(f"[bench a{attempt}] {line}", file=sys.stderr, flush=True)
+                elif line.startswith("{"):
+                    try:
+                        row = json.loads(line)
+                    except ValueError:
+                        continue
+                    if row.get("value", 0) > 0 or state["best"] is None:
+                        with lock:
+                            if not state["printed"]:
+                                state["best"] = row
+                    hb["measured"] = True
+
+        rt = threading.Thread(target=reader, daemon=True)
+        rt.start()
+
+        def child_cpu():
+            try:
+                with open(f"/proc/{proc.pid}/stat") as f:
+                    parts = f.read().split()
+                return (int(parts[13]) + int(parts[14])) / os.sysconf("SC_CLK_TCK")
+            except (OSError, IndexError, ValueError):
+                return None
+
+        cpu_last = {"v": 0.0, "t": time.time()}
+        wedged = False
+        while proc.poll() is None:
+            time.sleep(1.0)
+            now = time.time()
+            cpu = child_cpu()
+            if cpu is not None and cpu > cpu_last["v"] + 1.0:
+                cpu_last["v"] = cpu
+                cpu_last["t"] = now
+            if now > (t_end if state["best"] is not None else t_hard) - reserve_s:
+                break
+            if hb["tpu_ok"] is None and now - hb["t"] > tpu_ok_s:
+                wedged = "no tpu_ok"
+                break
+            if hb["tpu_ok"] is not None and not hb["measured"]:
+                if now - hb["t"] > compile_s:
+                    wedged = "no measurement after compile window"
+                    break
+                if now - hb["t"] > cpu_stall_s and now - cpu_last["t"] > cpu_stall_s:
+                    wedged = "cpu+output frozen"
+                    break
+
+        if proc.poll() is None:
+            # budget exhausted or wedge: ask nicely (a live worker emits its
+            # final snapshot on SIGTERM), then kill the whole group
+            kill_child(signal.SIGTERM)
+            deadline = time.time() + 5.0
+            while proc.poll() is None and time.time() < deadline:
+                time.sleep(0.2)
+            kill_child(signal.SIGKILL)
+            try:
+                proc.wait(timeout=5.0)
+            except subprocess.TimeoutExpired:
+                pass
+        rt.join(timeout=2.0)
+        if wedged:
+            print(
+                f"[bench a{attempt}] wedge detected ({wedged}); retrying",
+                file=sys.stderr,
+                flush=True,
+            )
+            continue
+        if state["best"] is None and proc.returncode not in (0, None):
+            print(
+                f"[bench a{attempt}] worker died rc={proc.returncode}; retrying",
+                file=sys.stderr,
+                flush=True,
+            )
+            continue
+        break  # worker finished (or budget ran out)
+
+    emit()
+    kill_child()
+    sys.exit(0)
 
 
-def _on_signal(signum, frame):
-    _emit()
-    sys.stdout.flush()
-    os._exit(0)
-
-
-def _snapshot(stats, extra):
-    global _best
-    if stats["n_finished"] == 0:
-        return
-    value = stats["converged_per_sec"]
-    _best = {
-        "metric": "converged_landing_solves_per_sec_per_chip",
-        "value": round(value, 2),
-        "unit": "solves/s",
-        "vs_baseline": round(value / BASELINE_PER_CHIP, 4),
-        "mode": "streaming",
-        "n_scenarios": stats["n_finished"],
-        "wall_s": round(stats["wall_s"], 2),
-        "convergence_rate": round(stats["convergence_rate"], 4),
-        "iters_p50": int(stats["iters_p50"]),
-        "iters_p90": int(stats["iters_p90"]),
-        **extra,
-    }
-
+# ======================================================================
+# worker: the actual measurement (may wedge; parent supervises)
+# ======================================================================
 
 def bench_sampler(n, _box=[None]):
+    import numpy as np
+
     if _box[0] is None:
         _box[0] = np.random.default_rng(0)
     rng = _box[0]
@@ -107,19 +254,56 @@ def bench_sampler(n, _box=[None]):
     return q0s, qd0s
 
 
-def main():
-    signal.signal(signal.SIGTERM, _on_signal)
-    signal.signal(signal.SIGINT, _on_signal)
-    signal.signal(signal.SIGALRM, _on_signal)
-    budget = float(os.environ.get("BENCH_TOTAL_S", "420"))
-    signal.alarm(int(budget))
-    t_start = time.time()
+def worker_main():
+    import numpy as np
 
+    t_start = time.time()
+    deadline = float(os.environ.get("BENCH_WORKER_DEADLINE", str(t_start + 390.0)))
+
+    def hb(phase):
+        print(f"#hb {phase} t={time.time()-t_start:.1f}", flush=True)
+
+    best = [None]
+
+    def snapshot(stats, extra):
+        if stats["n_finished"] == 0:
+            return
+        value = stats["converged_per_sec"]
+        best[0] = {
+            "metric": "converged_landing_solves_per_sec_per_chip",
+            "value": round(value, 2),
+            "unit": "solves/s",
+            "vs_baseline": round(value / BASELINE_PER_CHIP, 4),
+            "mode": "streaming",
+            "n_scenarios": stats["n_finished"],
+            "wall_s": round(stats["wall_s"], 2),
+            "convergence_rate": round(stats["convergence_rate"], 4),
+            "iters_p50": int(stats["iters_p50"]),
+            "iters_p90": int(stats["iters_p90"]),
+            **extra,
+        }
+        print(json.dumps(best[0]), flush=True)
+
+    def on_term(signum, frame):
+        # parent asked for the final row; re-print the best and die
+        if best[0] is not None:
+            print(json.dumps(best[0]), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+
+    hb("start")
     import jax.numpy as jnp
 
     from landing_controller_tpu.runtime import enable_persistent_cache
 
     enable_persistent_cache()
+    import jax
+
+    jax.devices()
+    hb("devices")
+    jnp.zeros(8).block_until_ready()  # first device op: the classic wedge site
+    hb("tpu_ok")
 
     from landing_controller_tpu.api import LandingSolver
     from landing_controller_tpu.parallel import StreamingSolver
@@ -160,6 +344,7 @@ def main():
     solver = LandingSolver(
         "srbm_lcp", dtype=jnp.float32, structured=True, config=cfg, guess=guess
     )
+    hb("solver_built")
 
     B = int(os.environ.get("BENCH_B", "64"))
     seg = int(os.environ.get("BENCH_SEGMENT", "50"))
@@ -173,28 +358,30 @@ def main():
         "mu_strategy": cfg.mu_strategy, "retry_failed": retry,
     }
 
-    # warm-up: one zero-wall run at the SAME pool size compiles the fused
-    # device-resident step (init + segment + harvest/refill in one
-    # executable; the jit is cached per pool size, and the persistent cache
-    # turns this into a load on repeat runs) so the measured run's wall
-    # clock is pure solve throughput
+    # warm-up: one zero-wall run at the SAME pool size compiles (or, on the
+    # committed bench_cache, loads) the fused device-resident step — one
+    # executable for init + segment + harvest/refill, jit-cached per pool
+    # size — so the measured run's wall clock is pure solve throughput
+    hb("compile_start")
     n = int(os.environ.get("BENCH_N", str(6 * B)))
     ss.run(n, max_wall_s=0.0)
     extra["compile_s"] = round(time.time() - t_start, 1)
+    hb("compile_done")
 
-    # single measured run; every segment updates the emit-ready snapshot,
-    # so the first number exists ~2 segments after warm-up finishes.
-    # Wall cap leaves margin for the final print under the alarm budget.
-    compile_spent = time.time() - t_start
-    run_wall = max(60.0, budget - compile_spent - 30.0)
+    # single measured run; every segment prints an emit-ready snapshot, so
+    # the parent holds a real number ~2 segments after warm-up finishes
+    run_wall = max(30.0, deadline - time.time() - 10.0)
     stats = ss.run(
         n,
         max_wall_s=run_wall,
-        progress_cb=lambda s: _snapshot(s, extra),
+        progress_cb=lambda s: snapshot(s, extra),
     )
-    _snapshot(stats, extra)
-    _emit()
+    snapshot(stats, extra)
+    hb("done")
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker_main()
+    else:
+        parent_main()

@@ -436,4 +436,14 @@ class EEParamSolver:
     def solve_batch(self, thetas) -> EEParamSolution:
         """Vmapped solve over a batch of EEParamParams (leading axis on
         every leaf); returns per-scenario convergence stats."""
+        # same half-static horizon guard as solve(): a batch whose
+        # theta.horizon differs from the static config would silently
+        # enforce dynamics on the wrong time grid
+        import numpy as np
+
+        hs = np.unique(np.asarray(jax.device_get(thetas.horizon)))
+        for h in hs:
+            self.problem.check_params(
+                dataclasses.replace(thetas, horizon=jnp.asarray(h, self.dtype))
+            )
         return self._solve_vmap(thetas)

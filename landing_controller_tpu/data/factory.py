@@ -79,8 +79,16 @@ def generate_training_data_streaming(
         keys = jax.random.split(sub, n)
         return jax.vmap(sample_drop_scenario)(keys)
 
+    # per-attempt deadlines sized to THIS solver family: the StreamingSolver
+    # default (100, 150) is tuned for srbm_lcp (p50 ~60 iters); kinodynamic
+    # cold solves run ~2x longer, and clipping them at 100 iterations kills
+    # most lanes that would converge — the factory-yield collapse behind the
+    # round-3 39-sample artifact.  Give every attempt the solver's full
+    # iteration budget; the stall detector still reaps hopeless lanes early.
+    mi = solver.config.max_iter
     ss = StreamingSolver(
-        solver, batch=batch, segment=segment, sampler=sampler, collect_z=True
+        solver, batch=batch, segment=segment, sampler=sampler, collect_z=True,
+        attempt_iters=(mi, mi),
     )
     stats = ss.run(n_samples, max_wall_s=max_wall_s)
     ok = stats["converged_mask"]

@@ -298,11 +298,15 @@ class EEParamProblem:
         return self._base_eval(lin, ang, tau)
 
     def _base_eval(self, lin, ang, tau):
-        """Coefficients live over NORMALIZED segment time tau = tl/dt_base
-        (f32 conditioning: every coefficient is O(1) — the raw power basis
-        at order 5 / dt 0.2 spans 1e4 in coefficient magnitude and loses
-        the value to cancellation in f32).  Physical derivatives follow by
-        the chain rule."""
+        """Coefficients live over PHYSICAL local segment time
+        tau = t - idx*dt_base in [0, dt_base] (the reference's basis,
+        quadruped_SRBM_eeParam.m:61-70), so _polyval/_deriv give physical
+        values/derivatives directly — no chain-rule factors anywhere in the
+        initial/continuity/dynamics rows.  (The per-leg Hermite splines DO
+        use a normalized basis — _hermite_to_power_tau — because their
+        durations are decision variables; the base grid is fixed, and at
+        dt_base=0.2 the physical power basis stays well-conditioned in f32.)
+        """
         r = _polyval(lin, tau)
         rd = _polyval(_deriv(lin), tau)
         rdd = _polyval(_deriv(_deriv(lin)), tau)
@@ -347,8 +351,8 @@ class EEParamProblem:
         # phase durations sum to T per leg (:204)
         rows.append(jnp.sum(v.durations, axis=1) - theta.horizon)
 
-        # initial state (:231-238): a0 terms of segment 0 (tau basis:
-        # the t^k slot is dt_base^k x the physical derivative)
+        # initial state (:231-238): the constant/linear slots of segment 0
+        # ARE the physical value/derivatives (physical-time basis)
         db = c.dt_base
         lin0, ang0 = v.base_lin[0], v.base_ang[0]
         rows.append(lin0[:, 5] - theta.r_init)
@@ -361,15 +365,15 @@ class EEParamProblem:
         )  # initial accel = gravity (:238)
 
         # terminal (:241-253): z position, orientation, zero linear
-        # velocity — evaluated at tau = 1 (the segment end)
+        # velocity — evaluated at local time dt_base (the segment end)
         linN, angN = v.base_lin[-1], v.base_ang[-1]
         rows.append((_polyval(linN, db)[2] - theta.r_des[2])[None])
         rows.append(_polyval(angN, db) - theta.theta_des)
         rows.append(_polyval(_deriv(linN), db))
 
-        # base continuity (:257-283): pos/ang/vel/angvel/acc/angacc — both
-        # sides carry the same dt_base^k factor, so tau-basis rows are the
-        # physical rows up to a constant row scale
+        # base continuity (:257-283): pos/ang/vel/angvel/acc/angacc —
+        # segment i's polynomials at local time dt_base against segment
+        # i+1's value/derivative slots at local time 0
         for i in range(c.n_base - 1):
             a, b = v.base_lin[i], v.base_lin[i + 1]
             aa, bb = v.base_ang[i], v.base_ang[i + 1]

@@ -73,6 +73,19 @@ def main():
     print(f"[data] {m}/{n_samples} converged samples in {time.time()-t0:.0f}s", flush=True)
     np.savez_compressed("/tmp/training_data_landing.npz", **data)
 
+    # ---- artifact sanity gate (round-3 postmortem: a wall-clock-truncated
+    # run harvested 39 samples and silently REPLACED the committed
+    # 499-sample net + its benchmark JSON with garbage).  A run that could
+    # not produce a floor's worth of samples must never overwrite the
+    # committed artifacts; train/benchmark to /tmp for inspection instead.
+    floor = int(os.environ.get("SAMPLE_FLOOR", "500"))
+    commit_ok = m >= floor
+    if not commit_ok:
+        print(
+            f"[gate] only {m} samples (< SAMPLE_FLOOR={floor}): writing "
+            "artifacts to /tmp, NOT overwriting committed files", flush=True,
+        )
+
     # ---- normalize + train
     stats = wsnn.compute_stats(
         jnp.asarray(data["inputs"]), jnp.asarray(data["X"]),
@@ -88,7 +101,11 @@ def main():
     print(f"[train] {len(losses)} epochs in {time.time()-t0:.0f}s; "
           f"loss {losses[0]:.4f} -> {losses[-1]:.5f}", flush=True)
 
-    out = os.path.join(REPO, "landing_controller_tpu", "data", "nn_TO_landing.npz")
+    out = (
+        os.path.join(REPO, "landing_controller_tpu", "data", "nn_TO_landing.npz")
+        if commit_ok
+        else "/tmp/nn_TO_landing.npz"
+    )
     wsnn.save_warmstart(out, params, stats)
     print(f"[save] {out} ({os.path.getsize(out)//1024} KB)", flush=True)
 
@@ -106,7 +123,24 @@ def main():
     for k, v in res["convergence"].items():
         table[k]["convergence"] = float(np.mean(v))
     print(json.dumps({"batch": B, "regimes": table}, indent=1), flush=True)
-    with open(os.path.join(REPO, "landing_controller_tpu", "data", "warmstart_bench.json"), "w") as f:
+    # second gate: the benchmark JSON is published evidence — a cold-start
+    # convergence row wildly below the streaming bench's measured rate means
+    # THIS run was broken (truncated, wedged tunnel, bad config), not the
+    # solver; refuse to publish it.
+    cold_conv = table.get("cold", {}).get("convergence", 0.0)
+    cold_floor = float(os.environ.get("COLD_CONV_FLOOR", "0.5"))
+    publish = commit_ok and cold_conv >= cold_floor
+    bench_path = (
+        os.path.join(REPO, "landing_controller_tpu", "data", "warmstart_bench.json")
+        if publish
+        else "/tmp/warmstart_bench.json"
+    )
+    if not publish:
+        print(
+            f"[gate] cold convergence {cold_conv:.3f} < {cold_floor} or sample "
+            f"floor unmet: benchmark JSON -> /tmp only", flush=True,
+        )
+    with open(bench_path, "w") as f:
         json.dump({"batch": B, "n_trials": n_trials, "regimes": table,
                    "n_training_samples": m, "final_loss": losses[-1]}, f, indent=1)
 
