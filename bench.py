@@ -309,9 +309,17 @@ def worker_main():
     from landing_controller_tpu.parallel import StreamingSolver
     from landing_controller_tpu.solver import IPConfig
 
+    ladder = tuple(
+        float(x) for x in os.environ.get("BENCH_LADDER", "0,1").split(",")
+    )
+    # round-4 measured defaults (PERF.md §7): warmer barrier start with a
+    # gentler rate cap (mu_init 0.3 / kappa_mu 0.5: conv 0.648 -> 0.714 on
+    # the bench pool), one Gondzio corrector (+6pp conv, p50 77 -> ~55)
     cfg = IPConfig(
         max_iter=int(os.environ.get("BENCH_MAX_ITER", "200")),
         hessian_mode=os.environ.get("BENCH_HESS", "hybrid"),
+        mu_init=float(os.environ.get("BENCH_MU_INIT", "0.3")),
+        kappa_mu=float(os.environ.get("BENCH_KAPPA_MU", "0.5")),
         mu_min=1e-5,
         # the reference tolerance contract, NOT the relaxed f32 default:
         # tol 1e-4 / constr_viol_tol 1e-3 (landing_optimization.m:326-329);
@@ -322,7 +330,7 @@ def worker_main():
         relax_scale=1.0,
         delta_c=1e-6,
         kkt_backend=os.environ.get("BENCH_BACKEND", "cri"),
-        ladder_scales=(0.0, 1.0),
+        ladder_scales=ladder,
         n_linesearch=int(os.environ.get("BENCH_LS", "4")),
         # adaptive centrality mu rule: measured p50 63 vs 100 iterations
         # against the monotone Fiacco-McCormick schedule at equal-or-better
@@ -335,22 +343,38 @@ def worker_main():
         stall_window=int(os.environ.get("BENCH_STALL_WINDOW", "40")),
         stall_min_iter=int(os.environ.get("BENCH_STALL_MIN", "40")),
         matmul_precision=os.environ.get("BENCH_PREC", "highest"),
-        corrector=int(os.environ.get("BENCH_CORR", "0")),
+        corrector=int(os.environ.get("BENCH_CORR", "1")),
     )
     # ballistic cold-start guess: integrates the flight phase instead of
     # decelerating from knot 0 (the reference's linspace guess) — measured
     # +38% converged/s at B=64 (p50 iters 118 -> 100) on TPU v5e
     guess = os.environ.get("BENCH_GUESS", "ballistic")
+    # the reference's production non-uniform dt schedule
+    # ([0.05, 15x0.02, 0.05, 0.05, 0.1, 0.2], landing_optimization.m:28):
+    # measured +1.6pp convergence over the uniform grid, and failed lanes
+    # land near-feasible instead of diverged (PERF.md §7) — a runtime theta
+    # change, no recompile
+    overrides = None
+    if os.environ.get("BENCH_DT", "production") == "production":
+        from landing_controller_tpu.warmstart.reference import DT_PRODUCTION
+        import numpy as np_
+
+        overrides = {"dt": np_.asarray(DT_PRODUCTION, np_.float32)}
     solver = LandingSolver(
-        "srbm_lcp", dtype=jnp.float32, structured=True, config=cfg, guess=guess
+        "srbm_lcp", dtype=jnp.float32, structured=True, config=cfg, guess=guess,
+        theta_overrides=overrides,
     )
     hb("solver_built")
 
     B = int(os.environ.get("BENCH_B", "64"))
-    seg = int(os.environ.get("BENCH_SEGMENT", "50"))
+    seg = int(os.environ.get("BENCH_SEGMENT", "25"))
     retry = os.environ.get("BENCH_RETRY", "1") == "1"
+    att = tuple(
+        int(x) for x in os.environ.get("BENCH_ATTEMPT_ITERS", "100,150").split(",")
+    )
     ss = StreamingSolver(
-        solver, batch=B, segment=seg, sampler=bench_sampler, retry_failed=retry
+        solver, batch=B, segment=seg, sampler=bench_sampler, retry_failed=retry,
+        attempt_iters=att,
     )
 
     extra = {

@@ -379,7 +379,12 @@ class EEParamSolver:
                 # (feasibility still reaches ~1e-4); f64 honors 1e-4
                 tol=2e-4 if dtype == jnp.float32 else 1e-4,
                 sigma_max=1e5 if dtype == jnp.float32 else 1e8,
-                refine_steps=3 if dtype == jnp.float32 else 1,
+                # 5 refinement sweeps, not 3: the *batched* (vmapped) f32
+                # KKT path orders its reductions differently from the
+                # single-scenario path, and at 3 sweeps one bench lane
+                # plateaued at kkt~3e-3; at 5 both paths polish to ~1e-4
+                # in fewer total iterations (measured: it 200 -> 100)
+                refine_steps=5 if dtype == jnp.float32 else 1,
             )
         self.config = ip_config
         self._solve_one = jax.jit(self._solve_impl)

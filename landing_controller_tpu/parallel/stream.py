@@ -65,6 +65,7 @@ class StreamingSolver:
         retry_failed: bool = True,
         attempt_iters: tuple = (100, 150),
         collect_z: bool = False,
+        steps_per_call: int = 4,
     ):
         self.solver = solver
         self.batch = batch
@@ -98,15 +99,41 @@ class StreamingSolver:
                 return q, qd
 
         self.sampler = sampler
+        # steps_per_call: how many [segment -> harvest -> refill] cycles run
+        # inside ONE dispatched executable (lax.scan).  Each host dispatch
+        # through the axon tunnel costs ~100-200 ms of latency; at ~400 ms
+        # per segment that is a ~2x tax at 1 step/call (measured: streaming
+        # 14.7 ms/batch-iter vs 7.9 for the bare segment, seg_profile.py).
+        self.steps_per_call = max(1, int(steps_per_call))
         self._seg = jax.jit(
             jax.vmap(lambda q, qd, st: solver._segment_impl(q, qd, st, segment)),
         )
         self._init = jax.jit(jax.vmap(solver.init_state))
         self._step_cache = {}
+        # chunked pool-state precompute: writes one B-wide init chunk into
+        # the (P, ...) pool-state buffers (donated) — reuses the B-wide
+        # init executable instead of compiling a P-wide one
+        self._chunk_write = jax.jit(
+            lambda pool_st, chunk, i0: jax.tree_util.tree_map(
+                lambda buf, c: jax.lax.dynamic_update_slice_in_dim(buf, c, i0, 0),
+                pool_st,
+                chunk,
+            ),
+            donate_argnums=(0,),
+        )
 
     # ------------------------------------------------------------------
     def _make_step(self, P: int):
-        """Build the fused device step for a pool of P scenarios."""
+        """Build the fused device step for a pool of P scenarios.
+
+        The returned executable runs ``steps_per_call`` full
+        [segment -> harvest -> refill] cycles per dispatch (lax.scan) and
+        REFILLS lanes by *gathering* precomputed initial IPStates from the
+        device-resident pool-state buffers (pool_st0/pool_st1, one per
+        cold-guess variant) — the previous design re-ran the full vmapped
+        solver init (scale evals + CG dual init, ~85 ms at B=64) inside
+        every segment step for all B lanes even when one lane refilled.
+        """
         B = self.batch
         solver = self.solver
         segment = self.segment
@@ -114,7 +141,7 @@ class StreamingSolver:
         retry = self.retry_failed
         a1, a2 = self.attempt_iters
 
-        def step(pool_q, pool_qd, carry: _StreamCarry) -> _StreamCarry:
+        def step(pool_q, pool_qd, pool_st0, pool_st1, carry: _StreamCarry) -> _StreamCarry:
             summary, new_state = jax.vmap(
                 lambda q, qd, st, v: solver._segment_impl(q, qd, st, segment, v)
             )(carry.lane_q, carry.lane_qd, carry.state, carry.lane_variant)
@@ -162,11 +189,23 @@ class StreamingSolver:
                 refill, 0, jnp.where(retrying, total_iters, carry.lane_prev_iters)
             )
 
-            # fresh IPState for refilled/retrying lanes (computed for the
-            # whole batch — static shapes — then merged; all inside this one
-            # executable)
+            # fresh IPState for refilled/retrying lanes: GATHERED from the
+            # precomputed pool-state buffers (refills take variant-0 state
+            # of their new scenario; retries take variant-1 state of their
+            # current scenario), then merged — no solver re-init on the hot
+            # path
             reinit = refill | retrying
-            fresh = jax.vmap(solver.init_state)(lane_q, lane_qd, lane_variant)
+            retry_sid = jnp.clip(carry.lane_sid, 0, P - 1)
+
+            def pick(leaf0, leaf1):
+                fresh = jnp.where(
+                    retrying.reshape((B,) + (1,) * (leaf0.ndim - 1)),
+                    leaf1[retry_sid],
+                    leaf0[idx],
+                )
+                return fresh
+
+            fresh = jax.tree_util.tree_map(pick, pool_st0, pool_st1)
             state = jax.tree_util.tree_map(
                 lambda f, s: jnp.where(
                     reinit.reshape((B,) + (1,) * (f.ndim - 1)), f, s
@@ -175,7 +214,9 @@ class StreamingSolver:
                 new_state,
             )
             active = (carry.active & ~fin) | refill
-            cursor = jnp.minimum(carry.cursor + jnp.sum(fin.astype(jnp.int32)), P)
+            cursor = jnp.minimum(
+                carry.cursor + jnp.sum(fin.astype(jnp.int32)), P
+            ).astype(jnp.int32)
             return _StreamCarry(
                 lane_q=lane_q,
                 lane_qd=lane_qd,
@@ -190,7 +231,20 @@ class StreamingSolver:
                 n_finished=jnp.sum(res[0, :P]).astype(jnp.int32),
             )
 
-        return jax.jit(step)
+        K = self.steps_per_call
+
+        def multi(pool_q, pool_qd, pool_st0, pool_st1, carry):
+            if K == 1:
+                return step(pool_q, pool_qd, pool_st0, pool_st1, carry)
+            out, _ = jax.lax.scan(
+                lambda c, _: (step(pool_q, pool_qd, pool_st0, pool_st1, c), None),
+                carry,
+                None,
+                length=K,
+            )
+            return out
+
+        return jax.jit(multi)
 
     # ------------------------------------------------------------------
     def run(
@@ -218,6 +272,32 @@ class StreamingSolver:
         if step is None:
             step = self._step_cache[P] = self._make_step(P)
 
+        # ---- precompute initial IPStates for every pool scenario, chunked
+        # through the B-wide init executable into (P_pad, ...) device
+        # buffers: one pass per cold-guess variant (retries gather the
+        # alternate-guess state).  Amortized once per run; removes the
+        # per-segment full-batch re-init from the hot loop.
+        P_pad = ((P + B - 1) // B) * B
+        pad = P_pad - P
+        q_pad = jnp.concatenate([pool_q, jnp.tile(pool_q[-1:], (pad, 1))]) if pad else pool_q
+        qd_pad = jnp.concatenate([pool_qd, jnp.tile(pool_qd[-1:], (pad, 1))]) if pad else pool_qd
+        pool_states = []
+        for variant in (0, 1):
+            if variant == 1 and not self.retry_failed:
+                pool_states.append(pool_states[0])
+                break
+            vv = jnp.full(B, variant, jnp.int32)
+            chunk0 = self._init(q_pad[:B], qd_pad[:B], vv)
+            buf = jax.tree_util.tree_map(
+                lambda c: jnp.zeros((P_pad,) + c.shape[1:], c.dtype), chunk0
+            )
+            buf = self._chunk_write(buf, chunk0, 0)
+            for i0 in range(B, P_pad, B):
+                chunk = self._init(q_pad[i0 : i0 + B], qd_pad[i0 : i0 + B], vv)
+                buf = self._chunk_write(buf, chunk, i0)
+            pool_states.append(buf)
+        pool_st0, pool_st1 = pool_states
+
         first = jnp.minimum(jnp.arange(B), P - 1)
         lane_q = pool_q[first]
         lane_qd = pool_qd[first]
@@ -229,7 +309,7 @@ class StreamingSolver:
             lane_sid=jnp.where(active0, jnp.arange(B), P),
             lane_variant=v0,
             lane_prev_iters=v0,
-            state=self._init(lane_q, lane_qd, v0),
+            state=jax.tree_util.tree_map(lambda b: b[first], pool_st0),
             cursor=jnp.asarray(min(B, P), jnp.int32),
             active=active0,
             res=jnp.zeros((4, P + 1), self.solver.dtype),
@@ -243,7 +323,7 @@ class StreamingSolver:
         t0 = time.time()
         pending_res = None
         while True:
-            carry = step(pool_q, pool_qd, carry)  # async dispatch
+            carry = step(pool_q, pool_qd, pool_st0, pool_st1, carry)  # async dispatch
             if pending_res is not None:
                 res_np = np.asarray(pending_res)  # overlaps the step above
                 if progress_cb is not None:

@@ -11,6 +11,8 @@ the conv>=0.9 configuration with the lowest average iteration count.
 Usage: python tools/conv_battery.py [quick|full] [B]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import sys
 

@@ -6,6 +6,8 @@ kkt/mu/alpha trajectories, where progress stalls.
 Usage: python diag_conv.py [B] [backend] [mu_strategy] [sampler]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

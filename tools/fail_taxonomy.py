@@ -9,6 +9,8 @@ to >= 0.9 by fixing failure modes, not by hiding them.)
 Usage: python tools/fail_taxonomy.py [B] [mu_strategy]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 from collections import Counter
 

@@ -12,6 +12,8 @@ segments from the bench scenario distribution, report ms/iter-per-lane and
 convergence/iters after a fixed iteration budget.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import sys
 import time
@@ -38,7 +40,10 @@ def run_config(name, B, cfg_kwargs, n_iters=200, seed=0, guess="ballistic"):
     import jax.numpy as jnp
 
     from landing_controller_tpu.api import LandingSolver
+    from landing_controller_tpu.runtime import enable_persistent_cache
     from landing_controller_tpu.solver import IPConfig
+
+    enable_persistent_cache()
 
     base = dict(
         max_iter=n_iters,

@@ -9,6 +9,8 @@ Answers two questions the bench wall-clock can't separate:
 Usage: python tools/seg_profile.py [B] [trace]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

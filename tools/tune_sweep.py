@@ -4,6 +4,8 @@ Usage: python tune_sweep.py
 Each line: config -> wall, conv, iters, solves/s.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import itertools
 import time
 
