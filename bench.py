@@ -182,9 +182,13 @@ def parent_main():
             time.sleep(1.0)
             now = time.time()
             cpu = child_cpu()
-            if cpu is not None and cpu > cpu_last["v"] + 1.0:
+            # per-sample rate test (>=~30% CPU over the 1 s poll): a wedged
+            # process still creeps ~0.05 s/min, which a cumulative-delta
+            # test mistakes for progress
+            if cpu is not None:
+                if cpu - cpu_last["v"] > 0.3:
+                    cpu_last["t"] = now
                 cpu_last["v"] = cpu
-                cpu_last["t"] = now
             if now > (t_end if state["best"] is not None else t_hard) - reserve_s:
                 break
             if hb["tpu_ok"] is None and now - hb["t"] > tpu_ok_s:

@@ -438,3 +438,350 @@ def joint_pd_sim(
     qs = jnp.concatenate([q0[None], qs])
     qds = jnp.concatenate([qd0[None], qds])
     return qs, qds, grfs
+
+
+# ----------------------------------------------------------------------
+# rotor (actuator) reflection — dynamics_one_step.m / add_rotors.m
+# ----------------------------------------------------------------------
+
+class RotorModel:
+    """Geared-rotor set for reflected actuator dynamics.
+
+    Mirrors the reference's rotor_model struct (get_rotor_model.m): rotor k
+    is rigidly attached to body ``mu[k]`` (the geared joint's parent) at
+    transform ``x_mu[k]`` and spins at ``gr[k]`` times joint ``gamma[k]``'s
+    rate about that joint's axis.  ``inertia[k]`` is the 6x6 spatial
+    inertia of the rotor (mass + rotational).
+    """
+
+    def __init__(self, gamma, gr, inertia, x_mu):
+        import numpy as _np
+
+        self.nr = len(gamma)
+        self.gamma = _np.asarray(gamma, _np.int64)
+        self.gr = _np.asarray(gr, _np.float64)
+        self.inertia = _np.asarray(inertia, _np.float64)  # (nr, 6, 6)
+        self.x_mu = _np.asarray(x_mu, _np.float64)  # (nr, 6, 6)
+
+
+def quad3d_rotor_model(model, robot_params, rotor_inertia_axial, rotor_mass=0.0):
+    """One rotor per actuated joint of the quad3D tree (12 rotors).
+
+    The reference builds rotor models only for its planar robots
+    (get_rotor_model.m uses the 7-body 'c3' topology); this is the same
+    construction applied to the 18-body quad3D tree: each actuated joint's
+    rotor sits at the joint origin on the parent body (X_mu = 1), spins
+    about the joint axis with the joint's gear ratio
+    (get_robot_params.m mc3D gear ratios 6/6/9.33), and carries an axial
+    rotational inertia of ``rotor_inertia_axial`` (the reference publishes
+    rotor inertia only for 'c3'; pass the actuator's datasheet value).
+    """
+    from .spatial import spatial_inertia as _spatial_inertia
+    import numpy as _np
+
+    gears = [
+        robot_params.abad_gear_ratio,
+        robot_params.hip_gear_ratio,
+        robot_params.knee_gear_ratio,
+    ]
+    # actuated joints are bodies 6..17 (4 legs x abad/hip/knee)
+    gamma, gr, inertias, x_mu = [], [], [], []
+    for leg in range(4):
+        for j in range(3):
+            i = 6 + 3 * leg + j
+            gamma.append(i)
+            gr.append(gears[j])
+            # axial inertia about the joint axis: jcalc's S picks the axis,
+            # so a diagonal rotational inertia with the axial value on all
+            # axes reflected ONLY through S' I S stays exact for the
+            # diagonal term; use the axial value on the spin axis and zero
+            # elsewhere via the joint's S at q=0
+            I3 = _np.eye(3) * rotor_inertia_axial
+            inertias.append(
+                _np.asarray(_spatial_inertia(rotor_mass, _np.zeros(3), I3))
+            )
+            x_mu.append(_np.eye(6))
+    return RotorModel(gamma, gr, inertias, x_mu)
+
+
+def h_and_c_rotors(model, rotors: RotorModel, q, qd):
+    """Mass matrix H and bias C with geared-rotor reflection.
+
+    Port of the reference's rotor-augmented CRBA/RNEA
+    (dynamics_one_step.m:14-100): per rotor k geared to joint i = gamma[k]
+    on parent p,
+
+    - ``H[i,i] += gr^2 S_i' I_r S_i`` (reflected inertia),
+    - off-diagonal ``H[i,j] += S_j' (prop. gr I_r S_i)`` for ancestors j
+      (the rotor reaction torque path),
+    - ``C[i]  += gr S_i' f_k`` with f_k the rotor's velocity-product +
+      gravity spatial force, and f_k also pushed onto the parent body,
+    - the rotor inertia joins the parent's composite inertia.
+
+    All loops unroll at trace time (fixed topology) like the rest of this
+    module; jit/vmap/grad-safe.
+    """
+    nb = model.nb
+    dtype = q.dtype
+    a_grav = jnp.concatenate(
+        [jnp.zeros(3, dtype=dtype), -jnp.asarray(model.gravity, dtype=dtype)]
+    )
+
+    # forward pass (velocities + zero-qdd accelerations, as rnea(qdd=0))
+    v = [None] * nb
+    avp = [None] * nb
+    fvp = [None] * nb
+    xup = [None] * nb
+    S = [None] * nb
+    for i in range(nb):
+        Xj, S[i] = jcalc(model.jtype[i], q[i])
+        xup[i] = Xj @ jnp.asarray(model.xtree[i], dtype=dtype)
+        vJ = S[i] * qd[i]
+        p = int(model.parent[i])
+        if p < 0:
+            v[i] = vJ
+            avp[i] = xup[i] @ a_grav
+        else:
+            v[i] = xup[i] @ v[p] + vJ
+            avp[i] = xup[i] @ avp[p] + crm(v[i]) @ vJ
+        Ii = jnp.asarray(model.inertia[i], dtype=dtype)
+        fvp[i] = Ii @ avp[i] + crf(v[i]) @ (Ii @ v[i])
+
+    IC = [jnp.asarray(model.inertia[i], dtype=dtype) for i in range(nb)]
+    H = jnp.zeros((nb, nb), dtype=dtype)
+    C = jnp.zeros(nb, dtype=dtype)
+    b_rot = [jnp.zeros(6, dtype=dtype) for _ in range(nb)]
+
+    # rotor pass (dynamics_one_step.m LOOP 2)
+    for k in range(rotors.nr):
+        i = int(rotors.gamma[k])
+        p = int(model.parent[i])
+        grk = jnp.asarray(float(rotors.gr[k]), dtype)
+        Irk = jnp.asarray(rotors.inertia[k], dtype)
+        Xj, _ = jcalc(model.jtype[i], q[i])
+        xup_r = Xj @ jnp.asarray(rotors.x_mu[k], dtype)
+        H = H.at[i, i].add(grk * grk * S[i] @ (Irk @ S[i]))
+        b_rot[i] = b_rot[i] + grk * (Irk @ S[i])
+        vJ = grk * S[i] * qd[i]
+        if p < 0:
+            fk = jnp.zeros(6, dtype=dtype)
+        else:
+            vk = xup_r @ v[p]
+            ak = xup_r @ avp[p] + crm(vk) @ vJ
+            fk = Irk @ ak + crf(vk) @ (Irk @ vJ)
+            fvp[p] = fvp[p] + xup_r.T @ fk
+            IC[p] = IC[p] + xup_r.T @ Irk @ xup_r
+        C = C.at[i].add(grk * S[i] @ fk)
+
+    # backward pass: bias torques + composite inertias (LOOP 3)
+    for i in range(nb - 1, -1, -1):
+        C = C.at[i].add(S[i] @ fvp[i])
+        p = int(model.parent[i])
+        if p >= 0:
+            fvp[p] = fvp[p] + xup[i].T @ fvp[i]
+            IC[p] = IC[p] + xup[i].T @ IC[i] @ xup[i]
+
+    # CRBA with the rotor off-diagonal reaction path (LOOP 4)
+    for i in range(nb):
+        fh = IC[i] @ S[i]
+        H = H.at[i, i].add(S[i] @ fh)
+        br = b_rot[i]
+        j = i
+        while int(model.parent[j]) >= 0:
+            fh = xup[j].T @ fh
+            br = xup[j].T @ br
+            j = int(model.parent[j])
+            hij = S[j] @ (fh + br)
+            H = H.at[i, j].add(hij)
+            H = H.at[j, i].add(hij)
+    return H, C
+
+
+# ----------------------------------------------------------------------
+# hybrid dynamics + floating-base helpers — spatial_v2 HD.m / IDfb.m /
+# fbkin.m analogues
+# ----------------------------------------------------------------------
+
+def hybrid_dynamics(model, fd, q, qd, qdd, tau, f_ext_world=None):
+    """Articulated-body HYBRID dynamics (spatial_v2/dynamics/HD.m).
+
+    ``fd`` is a static tuple of booleans: fd[i]=True marks joint i as a
+    forward-dynamics joint (tau[i] given, qdd computed); fd[i]=False marks
+    it prescribed (qdd[i] given, tau computed).  Returns fully-populated
+    (qdd_out, tau_out).  The mask is resolved at TRACE time — each fd
+    pattern is its own compiled program, like every other static-topology
+    choice in this module.
+    """
+    nb = model.nb
+    dtype = q.dtype
+    fd = tuple(bool(b) for b in fd)
+    assert len(fd) == nb
+    a_grav = jnp.concatenate(
+        [jnp.zeros(3, dtype=dtype), -jnp.asarray(model.gravity, dtype=dtype)]
+    )
+
+    v = [None] * nb
+    c = [None] * nb
+    xup = [None] * nb
+    S = [None] * nb
+    IA = [None] * nb
+    pA = [None] * nb
+    for i in range(nb):
+        Xj, S[i] = jcalc(model.jtype[i], q[i])
+        xup[i] = Xj @ jnp.asarray(model.xtree[i], dtype=dtype)
+        vJ = S[i] * qd[i]
+        p = int(model.parent[i])
+        if p < 0:
+            v[i] = vJ
+            c[i] = jnp.zeros(6, dtype=dtype)
+        else:
+            v[i] = xup[i] @ v[p] + vJ
+            c[i] = crm(v[i]) @ vJ
+        if not fd[i]:
+            c[i] = c[i] + S[i] * qdd[i]
+        IA[i] = jnp.asarray(model.inertia[i], dtype=dtype)
+        pA[i] = crf(v[i]) @ (IA[i] @ v[i])
+
+    if f_ext_world is not None:
+        fx = _body_frame_ext_forces(model, xup, f_ext_world, dtype)
+        for i in range(nb):
+            pA[i] = pA[i] - fx[i]
+
+    U = [None] * nb
+    d = [None] * nb
+    u = [None] * nb
+    for i in range(nb - 1, -1, -1):
+        p = int(model.parent[i])
+        if not fd[i]:
+            if p >= 0:
+                pa = pA[i] + IA[i] @ c[i]
+                IA[p] = IA[p] + xup[i].T @ IA[i] @ xup[i]
+                pA[p] = pA[p] + xup[i].T @ pa
+        else:
+            U[i] = IA[i] @ S[i]
+            d[i] = S[i] @ U[i]
+            u[i] = tau[i] - S[i] @ pA[i]
+            if p >= 0:
+                Ia = IA[i] - jnp.outer(U[i], U[i]) / d[i]
+                pa = pA[i] + Ia @ c[i] + U[i] * (u[i] / d[i])
+                IA[p] = IA[p] + xup[i].T @ Ia @ xup[i]
+                pA[p] = pA[p] + xup[i].T @ pa
+
+    qdd_out = jnp.zeros(nb, dtype=dtype)
+    tau_out = jnp.zeros(nb, dtype=dtype)
+    a = [None] * nb
+    for i in range(nb):
+        p = int(model.parent[i])
+        if p < 0:
+            a[i] = xup[i] @ a_grav + c[i]
+        else:
+            a[i] = xup[i] @ a[p] + c[i]
+        if not fd[i]:
+            qdd_out = qdd_out.at[i].set(qdd[i])
+            tau_out = tau_out.at[i].set(S[i] @ (IA[i] @ a[i] + pA[i]))
+        else:
+            qdd_i = (u[i] - U[i] @ a[i]) / d[i]
+            qdd_out = qdd_out.at[i].set(qdd_i)
+            tau_out = tau_out.at[i].set(tau[i])
+            a[i] = a[i] + S[i] * qdd_i
+    return qdd_out, tau_out
+
+
+def id_floating_base(model, q, qd, qdd_joints, f_ext_world=None):
+    """Floating-base inverse dynamics (spatial_v2/dynamics/IDfb.m).
+
+    Given joint accelerations for the 12 actuated joints, computes the
+    joint torques AND the resulting free-base acceleration — "really a
+    special case of hybrid dynamics" (IDfb.m:3-6): the 6 floating-base
+    pseudo-joints are forward-dynamics joints with zero force, the
+    actuated joints are prescribed.  The reference parameterizes the base
+    with its 13-element quaternion state for MATLAB integration; here the
+    base lives in the model's own 6 pseudo-joint coordinates and
+    :func:`fbkin_fwd`/:func:`fbkin_inv` provide the singularity-free
+    conversions.  Returns (qdd_base (6,), tau_joints (12,)).
+    """
+    nb = model.nb
+    dtype = q.dtype
+    fd = (True,) * 6 + (False,) * (nb - 6)
+    qdd = jnp.concatenate([jnp.zeros(6, dtype=dtype), jnp.asarray(qdd_joints, dtype)])
+    tau = jnp.zeros(nb, dtype=dtype)
+    qdd_out, tau_out = hybrid_dynamics(
+        model, fd, q, qd, qdd, tau, f_ext_world=f_ext_world
+    )
+    return qdd_out[:6], tau_out[6:]
+
+
+def fbkin_fwd(q6, qd6=None):
+    """Floating-base coordinates -> singularity-free state (fbkin.m fwdkin).
+
+    q6 = [x, y, z, rx, ry, rz] (this model's 6 floating pseudo-joint
+    coordinates: 3 prismatic + Rx/Ry/Rz revolute, get_robot_model.m
+    quad3D).  Returns p = [quat(4); r(3)], or x = [quat; r; v_spatial(6)]
+    with qd6 given, where v_spatial is the base's spatial velocity in
+    fixed-base (world-aligned, origin at world origin) coordinates —
+    exactly fbkin.m's x layout."""
+    from .quaternion import rot_to_quat
+
+    c4, s4 = jnp.cos(q6[3]), jnp.sin(q6[3])
+    c5, s5 = jnp.cos(q6[4]), jnp.sin(q6[4])
+    c6, s6 = jnp.cos(q6[5]), jnp.sin(q6[5])
+    E = jnp.stack(
+        [
+            jnp.stack([c5 * c6, c4 * s6 + s4 * s5 * c6, s4 * s6 - c4 * s5 * c6]),
+            jnp.stack([-c5 * s6, c4 * c6 - s4 * s5 * s6, s4 * c6 + c4 * s5 * s6]),
+            jnp.stack([s5, -s4 * c5, c4 * c5]),
+        ]
+    )
+    qn = rot_to_quat(E)
+    r = q6[0:3]
+    p = jnp.concatenate([qn, r])
+    if qd6 is None:
+        return p
+    # Euler-rate -> world angular velocity map (fbkin.m:67-70)
+    Smat = jnp.stack(
+        [
+            jnp.stack([jnp.ones_like(c4), jnp.zeros_like(c4), s5]),
+            jnp.stack([jnp.zeros_like(c4), c4, -s4 * c5]),
+            jnp.stack([jnp.zeros_like(c4), s4, c4 * c5]),
+        ]
+    )
+    omega = Smat @ qd6[3:6]
+    rd = qd6[0:3]
+    v = jnp.concatenate([omega, rd + jnp.cross(r, omega)])
+    return jnp.concatenate([p, v])
+
+
+def fbkin_inv(x):
+    """Singularity-free state -> floating-base coordinates (fbkin.m invkin).
+
+    Accepts p (7,) or x (13,); returns q6, or (q6, qd6) for the 13-element
+    input.  q6[4] is normalized to [-pi/2, pi/2] and q6[3], q6[5] to
+    [-pi, pi] (fbkin.m:20-22); the rate calculation is singular at
+    q6[4] = +-pi/2 like the reference."""
+    from .quaternion import quat_to_rot
+
+    qn = x[0:4]
+    r = x[4:7]
+    E = quat_to_rot(qn)
+    # E = rz' pattern above: recover angles (fbkin.m invkin)
+    q5 = jnp.arctan2(E[2, 0], jnp.sqrt(E[0, 0] ** 2 + E[1, 0] ** 2))
+    q4 = jnp.arctan2(-E[2, 1], E[2, 2])
+    q6 = jnp.arctan2(-E[1, 0], E[0, 0])
+    q = jnp.concatenate([r, jnp.stack([q4, q5, q6])])
+    if x.shape[0] == 7:
+        return q
+    omega = x[7:10]
+    vo = x[10:13]
+    rd = vo - jnp.cross(r, omega)
+    c4, s4 = jnp.cos(q4), jnp.sin(q4)
+    c5, s5 = jnp.cos(q5), jnp.sin(q5)
+    Smat = jnp.stack(
+        [
+            jnp.stack([jnp.ones_like(c4), jnp.zeros_like(c4), s5]),
+            jnp.stack([jnp.zeros_like(c4), c4, -s4 * c5]),
+            jnp.stack([jnp.zeros_like(c4), s4, c4 * c5]),
+        ]
+    )
+    euler_rates = jnp.linalg.solve(Smat, omega)
+    qd = jnp.concatenate([rd, euler_rates])
+    return q, qd

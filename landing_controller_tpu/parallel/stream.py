@@ -110,17 +110,27 @@ class StreamingSolver:
         )
         self._init = jax.jit(jax.vmap(solver.init_state))
         self._step_cache = {}
-        # chunked pool-state precompute: writes one B-wide init chunk into
-        # the (P, ...) pool-state buffers (donated) — reuses the B-wide
-        # init executable instead of compiling a P-wide one
-        self._chunk_write = jax.jit(
-            lambda pool_st, chunk, i0: jax.tree_util.tree_map(
-                lambda buf, c: jax.lax.dynamic_update_slice_in_dim(buf, c, i0, 0),
-                pool_st,
-                chunk,
-            ),
-            donate_argnums=(0,),
-        )
+        # pool-state precompute: ONE scanned executable initializes every
+        # pool scenario's IPState, B lanes per scan step.  (The first
+        # design dispatched one B-wide init per chunk from the host — at
+        # factory-scale pools that was 100+ round trips through the
+        # high-latency tunnel, ~20 minutes of staging.)
+        B = batch
+
+        def _init_pool(q_chunks, qd_chunks, variant):
+            vv = jnp.full(B, variant, jnp.int32)
+
+            def body(_, qs):
+                st = jax.vmap(solver.init_state)(qs[0], qs[1], vv)
+                return 0, st
+
+            _, states = jax.lax.scan(body, 0, (q_chunks, qd_chunks))
+            # (n_chunks, B, ...) -> (n_chunks * B, ...)
+            return jax.tree_util.tree_map(
+                lambda leaf: leaf.reshape((-1,) + leaf.shape[2:]), states
+            )
+
+        self._init_pool = jax.jit(_init_pool, static_argnums=(2,))
 
     # ------------------------------------------------------------------
     def _make_step(self, P: int):
@@ -272,31 +282,18 @@ class StreamingSolver:
         if step is None:
             step = self._step_cache[P] = self._make_step(P)
 
-        # ---- precompute initial IPStates for every pool scenario, chunked
-        # through the B-wide init executable into (P_pad, ...) device
-        # buffers: one pass per cold-guess variant (retries gather the
+        # ---- precompute initial IPStates for every pool scenario (one
+        # scanned executable per cold-guess variant; retries gather the
         # alternate-guess state).  Amortized once per run; removes the
         # per-segment full-batch re-init from the hot loop.
         P_pad = ((P + B - 1) // B) * B
         pad = P_pad - P
         q_pad = jnp.concatenate([pool_q, jnp.tile(pool_q[-1:], (pad, 1))]) if pad else pool_q
         qd_pad = jnp.concatenate([pool_qd, jnp.tile(pool_qd[-1:], (pad, 1))]) if pad else pool_qd
-        pool_states = []
-        for variant in (0, 1):
-            if variant == 1 and not self.retry_failed:
-                pool_states.append(pool_states[0])
-                break
-            vv = jnp.full(B, variant, jnp.int32)
-            chunk0 = self._init(q_pad[:B], qd_pad[:B], vv)
-            buf = jax.tree_util.tree_map(
-                lambda c: jnp.zeros((P_pad,) + c.shape[1:], c.dtype), chunk0
-            )
-            buf = self._chunk_write(buf, chunk0, 0)
-            for i0 in range(B, P_pad, B):
-                chunk = self._init(q_pad[i0 : i0 + B], qd_pad[i0 : i0 + B], vv)
-                buf = self._chunk_write(buf, chunk, i0)
-            pool_states.append(buf)
-        pool_st0, pool_st1 = pool_states
+        qc = q_pad.reshape(-1, B, 6)
+        qdc = qd_pad.reshape(-1, B, 6)
+        pool_st0 = self._init_pool(qc, qdc, 0)
+        pool_st1 = self._init_pool(qc, qdc, 1) if self.retry_failed else pool_st0
 
         first = jnp.minimum(jnp.arange(B), P - 1)
         lane_q = pool_q[first]

@@ -80,9 +80,24 @@ def main():
         while proc.poll() is None:
             time.sleep(5.0)
             cpu = tree_cpu(proc.pid)
-            if cpu > last_cpu + 1.0:
-                last_cpu, last_t = cpu, time.time()
-            elif time.time() - last_t > stall_s:
+            # rate test per 5 s sample (>=10% CPU = real work): a wedged
+            # process still CREEPS ~0.05 s/min, which a cumulative-delta
+            # test mistakes for progress and postpones the kill forever
+            if cpu - last_cpu > 0.5:
+                last_t = time.time()
+            last_cpu = cpu
+            # two-phase fuse: startup wedges freeze at <= ~2 s of CPU
+            # (observed: jax import done, first device op never returns) —
+            # catch those within a couple of minutes instead of spending
+            # the full long-compile stall budget (meant for the ~12-minute
+            # CPU-silent remote XLA compiles).  Any job past ~2.5 s of CPU
+            # has reached real work and gets the long fuse.
+            # (the split only applies to long --stall budgets; a short
+            # budget is its own startup fuse.  Jobs that go CPU-silent at
+            # ~2 s legitimately — e.g. resumed runs that jump straight to
+            # a remote compile — should use --stall <= 600.)
+            fuse = stall_s if (cpu > 2.5 or stall_s <= 600.0) else min(stall_s, 150.0)
+            if time.time() - last_t > fuse:
                 wedged = True
                 break
         if wedged:

@@ -66,12 +66,22 @@ def main():
     from landing_controller_tpu.data.factory import generate_training_data_streaming
 
     t0 = time.time()
-    data = generate_training_data_streaming(
-        kino, n_samples, batch=batch, max_wall_s=float(os.environ.get("DATA_WALL_S", "1200"))
-    )
+    npz = os.environ.get("DATA_NPZ", "")
+    if npz and os.path.exists(npz):
+        # resume path: the streaming factory checkpoints its harvested
+        # dataset to /tmp before training, so a tunnel wedge in the
+        # train/benchmark phases doesn't force a ~25-minute re-solve
+        d = np.load(npz)
+        data = {k: d[k] for k in d.files}
+        print(f"[data] resumed {data['inputs'].shape[0]} samples from {npz}", flush=True)
+    else:
+        data = generate_training_data_streaming(
+            kino, n_samples, batch=batch,
+            max_wall_s=float(os.environ.get("DATA_WALL_S", "1200")),
+        )
+        np.savez_compressed("/tmp/training_data_landing.npz", **data)
     m = data["inputs"].shape[0]
     print(f"[data] {m}/{n_samples} converged samples in {time.time()-t0:.0f}s", flush=True)
-    np.savez_compressed("/tmp/training_data_landing.npz", **data)
 
     # ---- artifact sanity gate (round-3 postmortem: a wall-clock-truncated
     # run harvested 39 samples and silently REPLACED the committed
