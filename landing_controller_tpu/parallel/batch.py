@@ -36,13 +36,19 @@ def make_scenario_mesh(n_devices: int | None = None, axis: str = "scenario") -> 
 _SHARDED_CACHE: dict = {}
 
 
-def _sharded_fn(solve_one, mesh: Mesh, axis: str):
-    key = (id(solve_one), mesh, axis)
+def _sharded_fn(solve_one, mesh: Mesh, axis: str, collect_stats: bool = True):
+    key = (id(solve_one), mesh, axis, collect_stats)
     fn = _SHARDED_CACHE.get(key)
     if fn is None:
 
         def shard_fn(q, qd):
             sols = jax.vmap(solve_one)(q, qd)
+            if not collect_stats:
+                # no in-program collectives: XLA:CPU's rendezvous enforces a
+                # 40 s barrier across virtual devices, and a heavy per-shard
+                # program on an oversubscribed host can miss it (observed on
+                # the 2-core CI box).  Callers recompute stats host-side.
+                return sols, {}
             n_conv = jax.lax.psum(jnp.sum(sols.converged.astype(jnp.int32)), axis)
             iter_sum = jax.lax.psum(jnp.sum(sols.iterations), axis)
             return sols, {"n_converged": n_conv, "iterations_sum": iter_sum}
@@ -62,7 +68,8 @@ def _sharded_fn(solve_one, mesh: Mesh, axis: str):
     return fn
 
 
-def solve_sharded(solve_one, q_inits, qd_inits, mesh: Mesh, axis: str = "scenario"):
+def solve_sharded(solve_one, q_inits, qd_inits, mesh: Mesh, axis: str = "scenario",
+                  collect_stats: bool = True):
     """Run `solve_one(q_init, qd_init) -> solution pytree` over a sharded batch.
 
     q_inits/qd_inits: (B, 6) with B divisible by the mesh size.  Returns the
@@ -70,7 +77,7 @@ def solve_sharded(solve_one, q_inits, qd_inits, mesh: Mesh, axis: str = "scenari
     dict of collective statistics (already psum-reduced across devices):
     total converged count, mean iterations.
     """
-    return _sharded_fn(solve_one, mesh, axis)(q_inits, qd_inits)
+    return _sharded_fn(solve_one, mesh, axis, collect_stats)(q_inits, qd_inits)
 
 
 def envelope_stats(X_batch, converged, mesh: Mesh | None = None, axis: str = "scenario"):
