@@ -89,6 +89,21 @@ def parent_main():
     state = {"best": None, "printed": False}
     lock = threading.Lock()
 
+    best_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_best.json"
+    )
+
+    def save_best(row):
+        # continuously persisted best row: a SIGKILL to the parent (driver
+        # `timeout -s KILL`, OOM) leaves no stdout, but this side file
+        # still holds the last measurement
+        try:
+            with open(best_path + ".tmp", "w") as f:
+                f.write(json.dumps(row) + "\n")
+            os.replace(best_path + ".tmp", best_path)
+        except OSError:
+            pass
+
     def emit():
         with lock:
             if state["printed"]:
@@ -132,16 +147,25 @@ def parent_main():
         deadline_cap = min(max(t_end, time.time() + 240.0), t_hard)
         env = dict(os.environ)
         env["BENCH_WORKER_DEADLINE"] = str(deadline_cap - reserve_s)
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker"],
-            stdout=subprocess.PIPE,
-            stderr=sys.stderr,
-            text=True,
-            start_new_session=True,  # own process group -> killable tree
-            env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        child_pgid[0] = proc.pid
+        # hold signals across Popen -> child_pgid assignment: a SIGTERM in
+        # that window would run the handler before the new group is
+        # recorded, leaving the worker unkilled
+        signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGTERM, signal.SIGINT})
+        try:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                text=True,
+                start_new_session=True,  # own process group -> killable tree
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            child_pgid[0] = proc.pid
+        finally:
+            signal.pthread_sigmask(
+                signal.SIG_UNBLOCK, {signal.SIGTERM, signal.SIGINT}
+            )
         hb = {"t": time.time(), "tpu_ok": None, "measured": False}
 
         def reader():
@@ -163,6 +187,7 @@ def parent_main():
                         with lock:
                             if not state["printed"]:
                                 state["best"] = row
+                        save_best(row)
                     hb["measured"] = True
 
         rt = threading.Thread(target=reader, daemon=True)

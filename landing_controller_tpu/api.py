@@ -92,8 +92,8 @@ class LandingSolver:
     ):
         if kind not in _PROBLEMS:
             raise KeyError(f"unknown problem kind '{kind}'; available: {sorted(_PROBLEMS)}")
-        if guess not in ("reference", "ballistic"):
-            raise KeyError(f"unknown guess '{guess}' (reference | ballistic)")
+        if guess not in ("reference", "ballistic", "nn"):
+            raise KeyError(f"unknown guess '{guess}' (reference | ballistic | nn)")
         self.kind = kind
         self.robot = robot
         self.guess = guess
@@ -127,21 +127,53 @@ class LandingSolver:
             )
         self.config = config
         self._z_scale = landing_z_scale(self.problem)
+        self._nn = None
+        if guess == "nn":
+            # learned warm start as the attempt-1 "cold" guess — the
+            # reference's production architecture (nn_warmstart.m:130-218:
+            # MLP 9 -> 976 trajectory seed, then solve).  Weights+stats are
+            # the committed artifact from tools/train_warmstart.py.
+            import os
+
+            from .warmstart.nn import N_KNOTS, load_warmstart
+
+            if n_knots != N_KNOTS:
+                raise ValueError(
+                    f"nn guess predicts the production N={N_KNOTS} grid, "
+                    f"got n_knots={n_knots}"
+                )
+            path = os.environ.get(
+                "LANDING_CTRL_NN",
+                os.path.join(os.path.dirname(__file__), "data", "nn_TO_landing.npz"),
+            )
+            self._nn = load_warmstart(path, dtype=dtype)
         self._solve_one = jax.jit(self._solve_impl)
         self._solve_vmap = jax.jit(jax.vmap(self._solve_impl))
 
     def _cold_guess(self, prob, theta, variant=None):
-        """Cold-start z0: the reference's linspace guess or the
-        physics-informed ballistic guess (warmstart/reference.py).  The
-        ballistic guess integrates the flight phase instead of decelerating
-        from knot 0, which the dynamics cannot do pre-contact.
+        """Cold-start z0: the reference's linspace guess, the
+        physics-informed ballistic guess (warmstart/reference.py), or the
+        learned NN guess (warmstart/nn.py).  The ballistic guess integrates
+        the flight phase instead of decelerating from knot 0, which the
+        dynamics cannot do pre-contact.
 
         ``variant`` (optional traced scalar): 0 selects the configured
-        guess, nonzero selects the OTHER family — the streaming driver's
-        retry-failed-scenarios policy flips it at runtime (measured: ~1/3
-        of ballistic cold-start failures converge from the linspace guess),
-        so both are computed and selected branch-free."""
-        if self.guess == "ballistic":
+        guess, nonzero selects the alternate family — the streaming
+        driver's retry-failed-scenarios policy flips it at runtime
+        (measured: ~1/3 of ballistic cold-start failures converge from the
+        linspace guess), so both are computed and selected branch-free."""
+        if self.guess == "nn":
+            from .warmstart.nn import nn_warmstart_guess
+
+            nn_params, nn_stats = self._nn
+
+            def primary(p, th):
+                return nn_warmstart_guess(
+                    nn_params, nn_stats, th.q_init, th.qd_init, p
+                )
+
+            alt = ballistic_guess
+        elif self.guess == "ballistic":
             primary, alt = ballistic_guess, initial_guess_from_reference
         else:
             primary, alt = initial_guess_from_reference, ballistic_guess

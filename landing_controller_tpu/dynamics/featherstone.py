@@ -560,6 +560,13 @@ def h_and_c_rotors(model, rotors: RotorModel, q, qd):
         Irk = jnp.asarray(rotors.inertia[k], dtype)
         Xj, _ = jcalc(model.jtype[i], q[i])
         xup_r = Xj @ jnp.asarray(rotors.x_mu[k], dtype)
+        # Deliberate deviation from dynamics_one_step.m: its LOOP 4
+        # overwrites H(i,i) = S'*Ic*S, silently DROPPING this LOOP-2 gr^2
+        # reflected-inertia term; add_rotors.m's dH section confirms += is
+        # the physical intent, so we keep it (cross-validating against the
+        # reference's numeric H will show diagonal mismatches on actuated
+        # joints — the reference's bug, not ours; tests/test_rotors.py
+        # checks the += semantics against an independent oracle).
         H = H.at[i, i].add(grk * grk * S[i] @ (Irk @ S[i]))
         b_rot[i] = b_rot[i] + grk * (Irk @ S[i])
         vJ = grk * S[i] * qd[i]
@@ -756,8 +763,17 @@ def fbkin_inv(x):
 
     Accepts p (7,) or x (13,); returns q6, or (q6, qd6) for the 13-element
     input.  q6[4] is normalized to [-pi/2, pi/2] and q6[3], q6[5] to
-    [-pi, pi] (fbkin.m:20-22); the rate calculation is singular at
-    q6[4] = +-pi/2 like the reference."""
+    [-pi, pi] (fbkin.m:20-22).  Angle extraction follows fbkin.m invkin's
+    robust formulation: near the gimbal lock q6[4] = +-pi/2 only the sum
+    (resp. difference) q4+q6 (q4-q6) is determined, and the naive
+    atan2(-E[2,1], E[2,2]) / atan2(-E[1,0], E[0,0]) pair degenerates to
+    atan2(0, 0); instead q4 is recovered from the well-conditioned
+    combined-angle atan2 (identities: E[1,2]+E[0,1] = (1+s5)sin(q4+q6),
+    E[1,1]-E[0,2] = (1+s5)cos(q4+q6), and the (1-s5) difference pair)
+    minus/plus q6, wrapped to [-pi, pi] — accurate in and near both
+    singularities, like the reference.  The RATE calculation is still
+    singular at q6[4] = +-pi/2 (the Euler-rate map loses rank there), like
+    the reference."""
     from .quaternion import quat_to_rot
 
     qn = x[0:4]
@@ -765,8 +781,14 @@ def fbkin_inv(x):
     E = quat_to_rot(qn)
     # E = rz' pattern above: recover angles (fbkin.m invkin)
     q5 = jnp.arctan2(E[2, 0], jnp.sqrt(E[0, 0] ** 2 + E[1, 0] ** 2))
-    q4 = jnp.arctan2(-E[2, 1], E[2, 2])
     q6 = jnp.arctan2(-E[1, 0], E[0, 0])
+    sum46 = jnp.arctan2(E[1, 2] + E[0, 1], E[1, 1] - E[0, 2])  # q4 + q6
+    diff46 = jnp.arctan2(E[1, 2] - E[0, 1], E[1, 1] + E[0, 2])  # q4 - q6
+
+    def _wrap(a):
+        return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+    q4 = jnp.where(E[2, 0] >= 0, _wrap(sum46 - q6), _wrap(diff46 + q6))
     q = jnp.concatenate([r, jnp.stack([q4, q5, q6])])
     if x.shape[0] == 7:
         return q

@@ -44,8 +44,17 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
             "LANDING_CTRL_CACHE", os.path.join(repo, ".jax_cache")
         )
     seed_dir = os.path.join(repo, "bench_cache")
-    if os.path.isdir(seed_dir) and os.path.abspath(seed_dir) != os.path.abspath(
-        cache_dir
+    # NEVER seed a CPU-platform process from the committed cache: XLA:CPU
+    # cache entries embed AOT machine code compiled for THIS machine's CPU
+    # features, and loading them on a different host warns of SIGILL
+    # (cpu_aot_loader.cc machine-feature mismatch — the round-4 driver
+    # dryrun log).  TPU executables are keyed by chip generation, which the
+    # runtime checks safely, so the TPU bench path keeps the warm seed.
+    on_cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    if (
+        not on_cpu
+        and os.path.isdir(seed_dir)
+        and os.path.abspath(seed_dir) != os.path.abspath(cache_dir)
     ):
         os.makedirs(cache_dir, exist_ok=True)
         for name in os.listdir(seed_dir):

@@ -78,6 +78,14 @@ def make_cascade(srbm_solver, kino_solver, warm_mu_init: float = 1e-2):
     # landing_optimization.m:27-28/305-311).
     import numpy as _np
 
+    n_srbm = srbm_solver.problem.config.n_knots
+    n_kino = kino_solver.problem.config.n_knots
+    if n_srbm != n_kino:
+        raise ValueError(
+            f"cascade stages must share n_knots (srbm={n_srbm}, kino={n_kino}); "
+            "a dt override across mismatched grids would fail with an opaque "
+            "trace-time shape error inside the problem build"
+        )
     dt_kino = _np.asarray(kino_theta0.dt)
     srbm_dt = _np.asarray(
         srbm_solver.build_params(

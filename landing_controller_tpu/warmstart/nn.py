@@ -218,10 +218,12 @@ def train_mlp(
 
 
 def nn_warmstart_guess(params: MLPParams, stats: DataStats, q_init, qd_init, problem):
-    """9-D initial condition -> kinodynamic warm-start vector z0.
+    """9-D initial condition -> warm-start vector z0 for `problem`.
 
     Mirrors nn_warmstart.m:130-139: normalize input, MLP, denormalize,
-    pack [X(:); jpos(:); U(:)].
+    pack [X(:); jpos(:); U(:)].  For non-kinodynamic problems (srbm_lcp)
+    the predicted jpos block is dropped — the base trajectory and
+    foot/GRF pattern transfer directly (same N=21 production time grid).
     """
     from ..problems.landing import LandingVars
 
@@ -229,8 +231,17 @@ def nn_warmstart_guess(params: MLPParams, stats: DataStats, q_init, qd_init, pro
     xin_n = (x_in - stats.mean_input) / stats.std_input
     y = mlp_apply(params, xin_n)
     X, U, jpos = denormalize_output(stats, y)
-    # re-anchor the initial state to the queried IC
+    # re-anchor the trajectory to the queried IC: the network was trained
+    # with the arbitrary initial xy zeroed (normalize_sample), so shift the
+    # whole plan (base xy and foot xy) to start at q_init's xy, and pin
+    # the initial state exactly
+    shift = q_init[0:2] - X[0, 0:2]
+    X = X.at[:, 0:2].add(shift[None, :])
+    U = U.at[:, 0:12:3].add(shift[0])
+    U = U.at[:, 1:12:3].add(shift[1])
     X = X.at[0].set(jnp.concatenate([q_init, qd_init]))
+    if not problem.config.kinodynamic:
+        jpos = jnp.zeros((X.shape[0] - 1, 0), X.dtype)
     return problem.pack(LandingVars(X=X, jpos=jpos, U=U))
 
 
