@@ -389,9 +389,17 @@ def worker_main():
         import numpy as np_
 
         overrides = {"dt": np_.asarray(DT_PRODUCTION, np_.float32)}
+    # retry family: failed first attempts re-solve from the NN warm-start
+    # guess (warmstart/nn.py, the reference's production seed —
+    # nn_warmstart.m:130-218).  Measured on the bench distribution: the NN
+    # guess converges 0.828 of scenarios standalone (vs ballistic 0.807)
+    # but at p50 77 iterations vs 46 — so it serves as the RESCUE (only
+    # failed lanes pay its slower polish), keeping attempt 1 on the fast
+    # ballistic guess.
+    retry_guess = os.environ.get("BENCH_RETRY_GUESS", "nn") or None
     solver = LandingSolver(
         "srbm_lcp", dtype=jnp.float32, structured=True, config=cfg, guess=guess,
-        theta_overrides=overrides,
+        theta_overrides=overrides, retry_guess=retry_guess,
     )
     hb("solver_built")
 
@@ -407,17 +415,32 @@ def worker_main():
     )
 
     extra = {
-        "batch": B, "segment": seg, "guess": guess, "tol": cfg.tol,
+        "batch": B, "segment": seg, "guess": guess,
+        "retry_guess": retry_guess, "tol": cfg.tol,
         "mu_strategy": cfg.mu_strategy, "retry_failed": retry,
     }
 
     # warm-up: one zero-wall run at the SAME pool size compiles (or, on the
     # committed bench_cache, loads) the fused device-resident step — one
     # executable for init + segment + harvest/refill, jit-cached per pool
-    # size — so the measured run's wall clock is pure solve throughput
+    # size — so the measured run's wall clock is pure solve throughput.
+    # The committed jax.export blob (stream_step.jaxexport) skips the
+    # multi-second tracing/lowering pass entirely when its content key
+    # matches this exact configuration; compilation of the deserialized
+    # StableHLO then hits the persistent cache (the two-layer ".casadi
+    # artifact" analogue).  BENCH_EXPORT=1 regenerates the blob.
     hb("compile_start")
     n = int(os.environ.get("BENCH_N", str(6 * B)))
+    aot_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_cache",
+        "stream_step.jaxexport",
+    )
+    if os.environ.get("BENCH_AOT", "1") == "1":
+        extra["aot"] = ss.load_step(aot_path, n)
     ss.run(n, max_wall_s=0.0)
+    if os.environ.get("BENCH_EXPORT") == "1" and not extra.get("aot"):
+        ss.export_step(aot_path, n)
+        print(f"#hb exported {aot_path}", flush=True)
     extra["compile_s"] = round(time.time() - t_start, 1)
     hb("compile_done")
 

@@ -54,9 +54,12 @@ def warmstart_comparison(
             lambda q, qd: nn_warmstart_guess(nn_params, stats, q, qd, problem)
         )(qb, qdb)
 
-    # warm regimes solve on a reduced-mu_init variant (near-feasible z0;
-    # see LandingSolver.warm_variant) — the cold row keeps the full path
-    kino_warm = kino_solver.warm_variant()
+    # warm regimes solve at the solver's own cold barrier: the round-5
+    # cascade ablation (tools/cascade_sweep.py) measured the reduced
+    # mu_init=1e-2 restart as the dominant warm-start failure source
+    # (every seed family loses 6-20pp vs the 1e-1 cold barrier — a
+    # near-feasible but uncentered seed needs barrier room to re-center)
+    kino_warm = kino_solver
 
     @jax.jit
     def nn_ws_batch(qb, qdb, z0b):

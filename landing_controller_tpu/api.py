@@ -89,14 +89,25 @@ class LandingSolver:
         theta_overrides: dict | None = None,
         structured: bool = True,
         guess: str = "reference",
+        retry_guess: str | None = None,
     ):
         if kind not in _PROBLEMS:
             raise KeyError(f"unknown problem kind '{kind}'; available: {sorted(_PROBLEMS)}")
-        if guess not in ("reference", "ballistic", "nn"):
-            raise KeyError(f"unknown guess '{guess}' (reference | ballistic | nn)")
+        # retry_guess: the alternate cold-guess family (or comma/tuple
+        # chain of families) the streaming driver's variant flag selects
+        # for failed-scenario retries — variant k uses chain[k-1].
+        # Default: the "other" classic family (ballistic <-> reference).
+        if isinstance(retry_guess, str):
+            retry_chain = tuple(retry_guess.split(","))
+        else:
+            retry_chain = tuple(retry_guess or ())
+        for g in (guess,) + retry_chain:
+            if g not in ("reference", "ballistic", "nn"):
+                raise KeyError(f"unknown guess '{g}' (reference | ballistic | nn)")
         self.kind = kind
         self.robot = robot
         self.guess = guess
+        self.retry_guess = retry_chain or None
         self.dtype = dtype
         self.theta_overrides = dict(theta_overrides or {})
         # voltage rows couple adjacent knots' jpos — dense path only
@@ -128,7 +139,7 @@ class LandingSolver:
         self.config = config
         self._z_scale = landing_z_scale(self.problem)
         self._nn = None
-        if guess == "nn":
+        if guess == "nn" or "nn" in retry_chain:
             # learned warm start as the attempt-1 "cold" guess — the
             # reference's production architecture (nn_warmstart.m:130-218:
             # MLP 9 -> 976 trajectory seed, then solve).  Weights+stats are
@@ -161,25 +172,38 @@ class LandingSolver:
         guess, nonzero selects the alternate family — the streaming
         driver's retry-failed-scenarios policy flips it at runtime
         (measured: ~1/3 of ballistic cold-start failures converge from the
-        linspace guess), so both are computed and selected branch-free."""
-        if self.guess == "nn":
-            from .warmstart.nn import nn_warmstart_guess
+        linspace guess), so all families are computed and selected
+        branch-free.  ``retry_guess`` overrides the retry chain (e.g.
+        ("nn", "reference"): NN rescue first, linspace as the last
+        resort)."""
 
-            nn_params, nn_stats = self._nn
+        def _family(name):
+            if name == "nn":
+                from .warmstart.nn import nn_warmstart_guess
 
-            def primary(p, th):
-                return nn_warmstart_guess(
-                    nn_params, nn_stats, th.q_init, th.qd_init, p
-                )
+                nn_params, nn_stats = self._nn
 
-            alt = ballistic_guess
-        elif self.guess == "ballistic":
-            primary, alt = ballistic_guess, initial_guess_from_reference
-        else:
-            primary, alt = initial_guess_from_reference, ballistic_guess
+                def fn(p, th):
+                    return nn_warmstart_guess(
+                        nn_params, nn_stats, th.q_init, th.qd_init, p
+                    )
+
+                return fn
+            if name == "ballistic":
+                return ballistic_guess
+            return initial_guess_from_reference
+
+        primary = _family(self.guess)
         if variant is None:
             return primary(prob, theta)
-        return jnp.where(variant > 0, alt(prob, theta), primary(prob, theta))
+        default_alt = {
+            "nn": "ballistic", "ballistic": "reference", "reference": "ballistic",
+        }[self.guess]
+        chain = self.retry_guess or (default_alt,)
+        out = primary(prob, theta)
+        for i, name in enumerate(chain):
+            out = jnp.where(variant == i + 1, _family(name)(prob, theta), out)
+        return out
 
     def build_params(self, q_init, qd_init):
         """Scenario -> runtime parameter pytree (no recompilation)."""
@@ -346,6 +370,7 @@ class LandingSolver:
             theta_overrides=self.theta_overrides,
             structured=self.structured,
             guess=self.guess,
+            retry_guess=self.retry_guess,
         )
 
     def solve(self, q_init, qd_init, z0=None, warm=None) -> LandingSolution:

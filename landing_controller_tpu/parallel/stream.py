@@ -76,13 +76,17 @@ class StreamingSolver:
         # its recorded iteration count is the SUM over attempts, so the
         # throughput metric pays for the retries honestly
         self.retry_failed = retry_failed
-        # per-attempt iteration deadlines (first, retry): non-converging
-        # lanes evade the in-solver stall detector (they keep scraping >10%
-        # off their best score per window without ever converging) and
-        # would otherwise burn the full max_iter TWICE per failed scenario;
-        # converged lanes finish at p50 ~60, so a ~2.5x-p50 deadline costs
-        # almost no real convergences while halving the failure tax
-        self.attempt_iters = attempt_iters
+        # per-attempt iteration deadlines (first, retry, [retry2, ...]):
+        # non-converging lanes evade the in-solver stall detector (they
+        # keep scraping >10% off their best score per window without ever
+        # converging) and would otherwise burn the full max_iter on EVERY
+        # attempt of a failed scenario; converged lanes finish at p50 ~60,
+        # so a ~2.5x-p50 deadline costs almost no real convergences while
+        # halving the failure tax.  len(attempt_iters) sets the attempt
+        # count: variant k's cold guess is the solver's retry chain entry
+        # k-1 (api.LandingSolver retry_guess).
+        self.attempt_iters = tuple(attempt_iters)
+        self.n_attempts = len(self.attempt_iters) if retry_failed else 1
         # collect_z: also scatter each finished scenario's solution vector
         # into a device-resident (P, n_vars) result array (the streaming
         # training-data factory path)
@@ -139,34 +143,32 @@ class StreamingSolver:
         The returned executable runs ``steps_per_call`` full
         [segment -> harvest -> refill] cycles per dispatch (lax.scan) and
         REFILLS lanes by *gathering* precomputed initial IPStates from the
-        device-resident pool-state buffers (pool_st0/pool_st1, one per
-        cold-guess variant) — the previous design re-ran the full vmapped
-        solver init (scale evals + CG dual init, ~85 ms at B=64) inside
-        every segment step for all B lanes even when one lane refilled.
+        device-resident pool-state buffer ``pool_sts`` (leading axis =
+        cold-guess variant, one slot per attempt) — the previous design
+        re-ran the full vmapped solver init (scale evals + CG dual init,
+        ~85 ms at B=64) inside every segment step for all B lanes even
+        when one lane refilled.
         """
         B = self.batch
         solver = self.solver
         segment = self.segment
 
-        retry = self.retry_failed
-        a1, a2 = self.attempt_iters
+        V = self.n_attempts
+        att = jnp.asarray(self.attempt_iters[:V] or (10**9,), jnp.int32)
 
-        def step(pool_q, pool_qd, pool_st0, pool_st1, carry: _StreamCarry) -> _StreamCarry:
+        def step(pool_q, pool_qd, pool_sts, carry: _StreamCarry) -> _StreamCarry:
             summary, new_state = jax.vmap(
                 lambda q, qd, st, v: solver._segment_impl(q, qd, st, segment, v)
             )(carry.lane_q, carry.lane_qd, carry.state, carry.lane_variant)
 
             conv = summary["converged"]
             # per-attempt deadline: lanes past their budget are failed NOW
-            deadline = jnp.where(carry.lane_variant == 0, a1, a2)
+            deadline = att[jnp.clip(carry.lane_variant, 0, V - 1)]
             timed_out = ~new_state.done & (new_state.it >= deadline) & ~conv
             done = (new_state.done | timed_out) & carry.active
-            if retry:
-                # failed first attempts are re-solved in place with the
-                # alternate cold guess instead of being recorded
-                retrying = done & ~conv & (carry.lane_variant == 0)
-            else:
-                retrying = jnp.zeros_like(done)
+            # failed attempts re-solve in place down the retry chain
+            # instead of being recorded
+            retrying = done & ~conv & (carry.lane_variant < V - 1)
             fin = done & ~retrying
             total_iters = summary["iterations"] + carry.lane_prev_iters
 
@@ -192,30 +194,32 @@ class StreamingSolver:
             lane_q = jnp.where(refill[:, None], pool_q[idx], carry.lane_q)
             lane_qd = jnp.where(refill[:, None], pool_qd[idx], carry.lane_qd)
             lane_sid = jnp.where(refill, new_sid, jnp.where(fin, P, carry.lane_sid))
+            next_variant = jnp.clip(carry.lane_variant + 1, 0, V - 1)
             lane_variant = jnp.where(
-                refill, 0, jnp.where(retrying, 1, carry.lane_variant)
+                refill, 0, jnp.where(retrying, next_variant, carry.lane_variant)
             )
             lane_prev_iters = jnp.where(
                 refill, 0, jnp.where(retrying, total_iters, carry.lane_prev_iters)
             )
 
             # fresh IPState for refilled/retrying lanes: GATHERED from the
-            # precomputed pool-state buffers (refills take variant-0 state
-            # of their new scenario; retries take variant-1 state of their
-            # current scenario), then merged — no solver re-init on the hot
-            # path
+            # precomputed pool-state buffer (refills take variant-0 state
+            # of their new scenario; retries take their next variant's
+            # state of their current scenario), then merged — no solver
+            # re-init on the hot path
             reinit = refill | retrying
             retry_sid = jnp.clip(carry.lane_sid, 0, P - 1)
 
-            def pick(leaf0, leaf1):
+            def pick(leaf):
+                # leaf: (V, P, ...) stacked pool states
                 fresh = jnp.where(
-                    retrying.reshape((B,) + (1,) * (leaf0.ndim - 1)),
-                    leaf1[retry_sid],
-                    leaf0[idx],
+                    retrying.reshape((B,) + (1,) * (leaf.ndim - 2)),
+                    leaf[next_variant, retry_sid],
+                    leaf[0, idx],
                 )
                 return fresh
 
-            fresh = jax.tree_util.tree_map(pick, pool_st0, pool_st1)
+            fresh = jax.tree_util.tree_map(pick, pool_sts)
             state = jax.tree_util.tree_map(
                 lambda f, s: jnp.where(
                     reinit.reshape((B,) + (1,) * (f.ndim - 1)), f, s
@@ -243,11 +247,11 @@ class StreamingSolver:
 
         K = self.steps_per_call
 
-        def multi(pool_q, pool_qd, pool_st0, pool_st1, carry):
+        def multi(pool_q, pool_qd, pool_sts, carry):
             if K == 1:
-                return step(pool_q, pool_qd, pool_st0, pool_st1, carry)
+                return step(pool_q, pool_qd, pool_sts, carry)
             out, _ = jax.lax.scan(
-                lambda c, _: (step(pool_q, pool_qd, pool_st0, pool_st1, c), None),
+                lambda c, _: (step(pool_q, pool_qd, pool_sts, c), None),
                 carry,
                 None,
                 length=K,
@@ -255,6 +259,152 @@ class StreamingSolver:
             return out
 
         return jax.jit(multi)
+
+    def get_step(self, P: int):
+        """The fused device step executable for pool size P (cached)."""
+        step = self._step_cache.get(P)
+        if step is None:
+            step = self._step_cache[P] = self._make_step(P)
+        return step
+
+    def _make_carry(self, pool_q, pool_qd, pool_sts, P: int) -> _StreamCarry:
+        """Initial carry for a pool of P scenarios (pure jnp: also used
+        under jax.eval_shape to derive the export signature).  pool_sts:
+        variant-stacked pool states, leading axis V."""
+        B = self.batch
+        first = jnp.minimum(jnp.arange(B), P - 1)
+        lane_q = pool_q[first]
+        lane_qd = pool_qd[first]
+        active0 = jnp.arange(B) < P
+        v0 = jnp.zeros(B, jnp.int32)
+        return _StreamCarry(
+            lane_q=lane_q,
+            lane_qd=lane_qd,
+            lane_sid=jnp.where(active0, jnp.arange(B), P),
+            lane_variant=v0,
+            lane_prev_iters=v0,
+            state=jax.tree_util.tree_map(lambda b: b[0][first], pool_sts),
+            cursor=jnp.asarray(min(B, P), jnp.int32),
+            active=active0,
+            res=jnp.zeros((4, P + 1), self.solver.dtype),
+            res_z=jnp.zeros(
+                (P + 1, self.solver.problem.n_vars if self.collect_z else 0),
+                self.solver.dtype,
+            ),
+            n_finished=jnp.asarray(0, jnp.int32),
+        )
+
+    # -------------------------------------------------- AOT step artifacts
+    def _pool_chunk_shape(self, P: int):
+        B = self.batch
+        P_pad = ((P + B - 1) // B) * B
+        return (P_pad // B, B, 6)
+
+    def artifact_key(self, P: int) -> str:
+        """Content hash binding an exported step blob to the exact program
+        it serializes: solver identity + config + guess families + stream
+        parameters + jax version.  A blob whose key mismatches is refused
+        (silent semantic drift — e.g. a changed mu schedule — would
+        otherwise load stale physics)."""
+        import hashlib
+
+        import jax as _jax
+
+        s = self.solver
+        parts = [
+            s.kind, str(s.problem.config), str(s.config), s.guess,
+            str(getattr(s, "retry_guess", None)), str(s.dtype),
+            str(s.structured),
+            str({k: np.asarray(v).tolist() for k, v in sorted(s.theta_overrides.items())}),
+            f"B{self.batch}", f"seg{self.segment}", f"P{P}",
+            f"att{self.attempt_iters}", f"retry{self.retry_failed}",
+            f"K{self.steps_per_call}", f"cz{self.collect_z}",
+            _jax.__version__,
+        ]
+        return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+    def export_step(self, path: str, P: int) -> None:
+        """Serialize the fused step + pool-init executables for pool size P
+        via jax.export — the streaming analogue of runtime.artifact
+        save_solver (the reference's ``.casadi`` file,
+        generate_landingCtrller_IPOPT_warmstart.m:278-366).  Loading skips
+        tracing entirely; compilation then hits the persistent cache."""
+        import json
+
+        from jax import export as jax_export
+
+        from ..runtime.artifact import register_stream_serialization
+
+        register_stream_serialization()
+        B = self.batch
+        V = self.n_attempts
+        d = self.solver.dtype
+        sds = lambda sh, dt=d: jax.ShapeDtypeStruct(sh, dt)
+        qc = sds(self._pool_chunk_shape(P))
+        st_s = jax.eval_shape(lambda a, b: self._init_pool(a, b, 0), qc, qc)
+        pool_sts_s = jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct((V,) + l.shape, l.dtype), st_s
+        )
+        pool_s = sds((P, 6))
+        carry_s = jax.eval_shape(
+            lambda q, qd, st: self._make_carry(q, qd, st, P), pool_s, pool_s, pool_sts_s
+        )
+        step = self.get_step(P)
+        exported_step = jax_export.export(step)(
+            pool_s, pool_s, pool_sts_s, carry_s
+        )
+        blobs = [exported_step.serialize()]
+        for variant in range(V):
+            ex = jax_export.export(self._init_pool)(qc, qc, variant)
+            blobs.append(ex.serialize())
+        meta = {"key": self.artifact_key(P), "P": P, "B": B, "V": V}
+        with open(path, "wb") as f:
+            f.write(b"LCSTRM1\n")
+            f.write((json.dumps(meta) + "\n").encode())
+            for blob in blobs:
+                f.write(len(blob).to_bytes(8, "little"))
+                f.write(blob)
+
+    def load_step(self, path: str, P: int) -> bool:
+        """Try to rehydrate exported step+init executables for pool size P.
+        Returns True on success (the run() hot path then uses them);
+        False on any mismatch (key, shapes, platform) — callers fall back
+        to tracing."""
+        import json
+
+        from jax import export as jax_export
+
+        from ..runtime.artifact import register_stream_serialization
+
+        try:
+            with open(path, "rb") as f:
+                if f.readline() != b"LCSTRM1\n":
+                    return False
+                meta = json.loads(f.readline().decode())
+                if meta.get("key") != self.artifact_key(P):
+                    return False
+                V = int(meta.get("V", 2))
+                if V != self.n_attempts:
+                    return False
+                blobs = []
+                for _ in range(1 + V):
+                    n = int.from_bytes(f.read(8), "little")
+                    blobs.append(f.read(n))
+            register_stream_serialization()
+            self._step_cache[P] = jax.jit(jax_export.deserialize(blobs[0]).call)
+            self._init_aot = {
+                v: jax.jit(jax_export.deserialize(blobs[1 + v]).call)
+                for v in range(V)
+            }
+            return True
+        except Exception:
+            return False
+
+    def _pool_states(self, qc, qdc, variant: int):
+        aot = getattr(self, "_init_aot", None)
+        if aot is not None:
+            return aot[variant](qc, qdc)
+        return self._init_pool(qc, qdc, variant)
 
     # ------------------------------------------------------------------
     def run(
@@ -278,9 +428,7 @@ class StreamingSolver:
         pool_qd = jnp.asarray(qd_np, self.solver.dtype)
         ics = np.concatenate([np.asarray(q_np), np.asarray(qd_np)], axis=1)
 
-        step = self._step_cache.get(P)
-        if step is None:
-            step = self._step_cache[P] = self._make_step(P)
+        step = self.get_step(P)
 
         # ---- precompute initial IPStates for every pool scenario (one
         # scanned executable per cold-guess variant; retries gather the
@@ -292,35 +440,17 @@ class StreamingSolver:
         qd_pad = jnp.concatenate([pool_qd, jnp.tile(pool_qd[-1:], (pad, 1))]) if pad else pool_qd
         qc = q_pad.reshape(-1, B, 6)
         qdc = qd_pad.reshape(-1, B, 6)
-        pool_st0 = self._init_pool(qc, qdc, 0)
-        pool_st1 = self._init_pool(qc, qdc, 1) if self.retry_failed else pool_st0
+        # stacked pool-state buffer: one precomputed-IPState slot per
+        # attempt variant, leading axis V
+        states = [self._pool_states(qc, qdc, v) for v in range(self.n_attempts)]
+        pool_sts = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *states)
 
-        first = jnp.minimum(jnp.arange(B), P - 1)
-        lane_q = pool_q[first]
-        lane_qd = pool_qd[first]
-        active0 = jnp.arange(B) < P
-        v0 = jnp.zeros(B, jnp.int32)
-        carry = _StreamCarry(
-            lane_q=lane_q,
-            lane_qd=lane_qd,
-            lane_sid=jnp.where(active0, jnp.arange(B), P),
-            lane_variant=v0,
-            lane_prev_iters=v0,
-            state=jax.tree_util.tree_map(lambda b: b[first], pool_st0),
-            cursor=jnp.asarray(min(B, P), jnp.int32),
-            active=active0,
-            res=jnp.zeros((4, P + 1), self.solver.dtype),
-            res_z=jnp.zeros(
-                (P + 1, self.solver.problem.n_vars if self.collect_z else 0),
-                self.solver.dtype,
-            ),
-            n_finished=jnp.asarray(0, jnp.int32),
-        )
+        carry = self._make_carry(pool_q, pool_qd, pool_sts, P)
 
         t0 = time.time()
         pending_res = None
         while True:
-            carry = step(pool_q, pool_qd, pool_st0, pool_st1, carry)  # async dispatch
+            carry = step(pool_q, pool_qd, pool_sts, carry)  # async dispatch
             if pending_res is not None:
                 res_np = np.asarray(pending_res)  # overlaps the step above
                 if progress_cb is not None:

@@ -263,7 +263,7 @@ class LandingProblem:
         if c.contact_scheduled:
             per_knot = 4 + 4 + 24 + 4 + 16 + 24
         elif c.sliding:
-            per_knot = 4 + 4 + 4 + 4 + 16 + 24 + 4 + 16 + 24
+            per_knot = 4 + 4 + 4 + 4 + 24 + 24 + 4 + 16 + 24
         elif c.kinodynamic:
             per_knot = 4 + 4 + 4 + 24 + 8 + 8 + 8 + 4 + 24 + 16 + 1 + 24 + 24
         else:
@@ -283,7 +283,7 @@ class LandingProblem:
                       ("kinbox", 24), ("leglen", 4), ("torque", 24), ("fric", 16),
                       ("z_bound", 1), ("fk_band", 24), ("jlim", 24)]
         elif c.sliding:
-            groups = [("fz", 4), ("fmax", 4), ("cz", 4), ("lcp", 4), ("slide", 16),
+            groups = [("fz", 4), ("fmax", 4), ("cz", 4), ("lcp", 4), ("slide", 24),
                       ("kinbox", 24), ("leglen", 4), ("fric", 16), ("statebox", 24)]
         else:
             groups = [("fz", 4), ("fmax", 4), ("cz", 4), ("lcp", 4), ("ns_hi", 12),
@@ -317,8 +317,8 @@ class LandingProblem:
             sizes = [4, 4, 4, 12, 12, 24, 4, 24, 16, 1, 24, 24]
             marked = {2, 3, 4, 10}  # lcp, ns_hi, ns_lo, fk_band
         elif c.sliding:
-            sizes = [4, 4, 4, 4, 16, 24, 4, 16, 24]
-            marked = {3, 4}  # lcp, sliding rows
+            sizes = [4, 4, 4, 4, 24, 24, 4, 16, 24]
+            marked = {3, 4}  # lcp, sliding rows (residual + dissipativity)
         else:
             sizes = [4, 4, 4, 4, 12, 12, 24, 4, 16, 24]
             marked = {3, 4, 5}  # lcp, ns_hi, ns_lo
@@ -507,24 +507,42 @@ class LandingProblem:
             x_k, u_k, c_next, ns_mask, theta, cfg.noslip_eps
         )
         if cfg.sliding:
-            # kinetic-friction sliding complementarity
-            # (main_scripts/landing_optimization_sliding.m:150-165): the
-            # tangential foot velocity may only be nonzero when the friction
-            # force saturates:  fz * (dc_t/dt) * (f_t -+ 0.71 mu fz) in
-            # [-1e-3, 1e-3].  (The reference's y-row inequality senses are
-            # inconsistent with its x rows — a research-file slip; we use
-            # the symmetric x-row form for both axes.)
+            # Kinetic-friction sliding complementarity
+            # (main_scripts/landing_optimization_sliding.m:150-165).  The
+            # reference's research-file rows are not usable as written: its
+            # x-row pair  fz*dc*(fx - lim) <= 1e-3 / fz*dc*(fx + lim) >=
+            # -1e-3  is DIRECTIONAL (forbids -x slip entirely, allows +x
+            # slip anywhere inside the cone), and its y rows have flipped
+            # senses that force nonzero slip at every knot (a slip — the
+            # same file keeps earlier attempts commented out at :157-160).
+            # We transcribe the physics that block intends, symmetric per
+            # axis:
+            #   (a) slip _|_ cone residual:
+            #       fz/f_max * dc_t * (lim^2 - f_t^2)/f_max in [-eps, eps]
+            #       — a loaded foot may slip only when |f_t| saturates the
+            #       pyramid limit (lim = 0.71 mu fz), and a strictly-inside
+            #       force pins the foot (the no-slip LCP limit);
+            #   (b) dissipativity: fz/f_max * dc_t * f_t/f_max <= eps —
+            #       kinetic friction opposes the slip direction.
+            # The fz factor keeps unloaded (swing) feet free, as in the
+            # reference; the 1/f_max^2 normalization keeps the quartic
+            # row's magnitude O(1) for the row-scaling pass
+            # (solver/scaling.py) so eps retains the reference's 1e-3
+            # contract.  Both groups ride the mu-proportional relaxation
+            # homotopy (relax_mask marks them).
             c = u_k[:12].reshape(4, 3)
             f = u_k[12:].reshape(4, 3)
             dc = (c_next.reshape(4, 3) - c) / dt_k
             lim = cfg.friction_pyramid_factor * theta.mu * f[:, 2]
             eps = cfg.noslip_eps
+            w = f[:, 2] / (theta.f_max * theta.f_max)
             rows = []
             for ax in (0, 1):
-                prod_pos = f[:, 2] * dc[:, ax] * (f[:, ax] - lim)
-                prod_neg = f[:, 2] * dc[:, ax] * (f[:, ax] + lim)
-                rows.append(ns_mask * (eps - prod_pos) + (1.0 - ns_mask))
-                rows.append(ns_mask * (prod_neg + eps) + (1.0 - ns_mask))
+                resid = w * dc[:, ax] * (lim * lim - f[:, ax] * f[:, ax])
+                rows.append(ns_mask * (eps - resid) + (1.0 - ns_mask))
+                rows.append(ns_mask * (resid + eps) + (1.0 - ns_mask))
+                dissip = w * dc[:, ax] * f[:, ax]
+                rows.append(ns_mask * (eps - dissip) + (1.0 - ns_mask))
             slide = jnp.concatenate(rows)
             ns_hi, ns_lo = slide, jnp.zeros((0,), x_k.dtype)
         fmax_rows = theta.f_max - fz

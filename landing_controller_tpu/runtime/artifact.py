@@ -76,6 +76,25 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
 MAGIC = b"LCTPU1\n"
 
 
+def register_stream_serialization() -> None:
+    """Register the NamedTuple pytree types crossing the jax.export
+    boundary of the streaming step (parallel/stream.py export_step):
+    idempotent."""
+    from jax import export as jax_export
+
+    from ..parallel.stream import _StreamCarry
+    from ..solver.ip import IPState
+
+    for cls, name in (
+        (IPState, "landing_controller_tpu.IPState"),
+        (_StreamCarry, "landing_controller_tpu.StreamCarry"),
+    ):
+        try:
+            jax_export.register_namedtuple_serialization(cls, serialized_name=name)
+        except ValueError:
+            pass  # already registered
+
+
 def save_solver(solver, path: str, batch: int | None = None) -> None:
     """Serialize the solver's jitted solve for fixed shapes to `path`.
 

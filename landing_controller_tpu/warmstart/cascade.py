@@ -52,17 +52,35 @@ def kinodynamic_guess_from_srbm(kino_problem, robot_params, X, U, jpos_clip=None
     return kino_problem.pack(LandingVars(X=X, jpos=jpos, U=U))
 
 
-def make_cascade(srbm_solver, kino_solver, warm_mu_init: float = 1e-2):
+def make_cascade(srbm_solver, kino_solver, warm_mu_init: float | None = None,
+                 seed_mode: str = "x_grf"):
     """Compose two LandingSolvers into one jitted cascade solve.
 
     Returns ``fn(q_init, qd_init) -> (kino_solution, srbm_solution)``.
 
-    Stage 2 runs on a warm variant of ``kino_solver`` (reduced
-    ``mu_init``): the stage-1 trajectory is near-feasible, and restarting
-    the barrier at the cold 1e-1 walks it far off the central path before
-    returning — measured in round 2 as cascade convergence *below* cold
-    start (VERDICT r2 weak #4).  Pass ``warm_mu_init=None`` to use
-    ``kino_solver`` as-is.
+    Seed construction (round-5 ablation, tools/cascade_sweep.py, B=128
+    over 2 factory batches — the fix for the srbm_ws < cold regression
+    that persisted through rounds 2-4):
+
+    - ``seed_mode="x_grf"`` (default): stage 2 takes the stage-1 BASE
+      TRAJECTORY and GRF schedule but the ballistic guess's feet and home
+      jpos.  Measured 0.680 vs cold 0.648 / full-seed 0.602.  The
+      IK-consistent foot/jpos seeding ("full"/"x_feet") actively hurts:
+      stage-1 foot placements sit ON the kinematic-box and FK-band
+      boundaries, and an interior-point solve started at its constraint
+      walls loses more than the warm primal gains (x_feet 0.648, full
+      0.602).
+    - ``seed_mode="full"``: the previous behavior (X + IK feet/jpos +
+      GRFs), kept for comparison studies.
+
+    ``warm_mu_init``: barrier restart for stage 2.  Default None = the
+    solver's own cold ``mu_init`` (1e-1).  The round-2 conclusion that a
+    REDUCED restart (1e-2) helps was wrong — the same ablation measured
+    it as the dominant failure source (full@1e-2 0.219 vs full@1e-1
+    0.602; every seed family loses 6-20pp at 1e-2): the seed is
+    near-feasible but far from centered, and a small mu leaves no barrier
+    room to re-center.  The reference's KNITRO ``strat_warm_start``
+    analogue remains available by passing an explicit value.
     """
     kino_theta0 = kino_solver.build_params(
         jnp.zeros(6, srbm_solver.dtype), jnp.zeros(6, srbm_solver.dtype)
@@ -111,9 +129,19 @@ def make_cascade(srbm_solver, kino_solver, warm_mu_init: float = 1e-2):
 
     def cascade(q_init, qd_init):
         sol1 = srbm_solver._solve_impl(q_init, qd_init)
-        z0 = kinodynamic_guess_from_srbm(
-            stage2.problem, stage2.robot_params, sol1.X, sol1.U, jl
-        )
+        if seed_mode == "x_grf":
+            from ..warmstart.reference import ballistic_guess
+
+            theta2 = stage2.build_params(q_init, qd_init)
+            vb = stage2.problem.unpack(ballistic_guess(stage2.problem, theta2))
+            U = jnp.concatenate([vb.U[:, :12], sol1.U[:, 12:]], axis=1)
+            z0 = stage2.problem.pack(
+                LandingVars(X=sol1.X, jpos=vb.jpos, U=U)
+            )
+        else:
+            z0 = kinodynamic_guess_from_srbm(
+                stage2.problem, stage2.robot_params, sol1.X, sol1.U, jl
+            )
         sol2 = stage2._solve_impl(q_init, qd_init, z0=z0)
         return sol2, sol1
 

@@ -128,3 +128,41 @@ def test_nn_vs_nlp_overlay_on_real_solve():
     fig = plot_nn_overlay(res, save_path="/tmp/nn_overlay.png")
     assert os.path.exists("/tmp/nn_overlay.png")
     matplotlib.pyplot.close(fig)
+
+
+def test_nn_guess_families():
+    """guess="nn" / retry_guess="nn" plumbing: the variant flag selects the
+    NN family branch-free, and the srbm problem drops the jpos block."""
+    import jax.numpy as jnp
+
+    from landing_controller_tpu.api import LandingSolver
+    from landing_controller_tpu.solver import IPConfig
+
+    cfg = IPConfig(max_iter=2, hessian_mode="gn", relax_scale=1.0)
+    q0 = jnp.asarray([0.2, -0.1, 0.6, 0.05, 0.4, -0.1], jnp.float32)
+    qd0 = jnp.asarray([0.1, 0.2, 0.3, 0.2, -0.3, -2.0], jnp.float32)
+
+    s = LandingSolver(
+        "srbm_lcp", n_knots=21, dtype=jnp.float32, structured=False,
+        config=cfg, guess="ballistic", retry_guess="nn",
+    )
+    th = s.build_params(q0, qd0)
+    z_primary = s._cold_guess(s.problem, th, variant=jnp.asarray(0))
+    z_retry = s._cold_guess(s.problem, th, variant=jnp.asarray(1))
+
+    s_nn = LandingSolver(
+        "srbm_lcp", n_knots=21, dtype=jnp.float32, structured=False,
+        config=cfg, guess="nn",
+    )
+    z_nn = s_nn._cold_guess(s_nn.problem, th)
+    assert jnp.allclose(z_retry, z_nn)
+    assert not jnp.allclose(z_primary, z_nn)
+    # the NN guess is anchored to the queried IC (xy shift + exact x0)
+    v = s.problem.unpack(z_nn)
+    assert jnp.allclose(v.X[0], jnp.concatenate([q0, qd0]), atol=1e-5)
+    # nn guess on a non-production grid must refuse
+    try:
+        LandingSolver("srbm_lcp", n_knots=16, dtype=jnp.float32, guess="nn", config=cfg)
+        raise AssertionError("n_knots=16 nn guess should have raised")
+    except ValueError:
+        pass

@@ -31,7 +31,38 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
-    s = EEParamSolver()
+    # config sweep knobs (env overrides on the EEParamSolver default)
+    ip_config = None
+    over = {}
+    if os.environ.get("EE_LADDER"):
+        over["ladder_scales"] = tuple(
+            float(x) for x in os.environ["EE_LADDER"].split(",")
+        )
+    for env, field, cast in (
+        ("EE_REFINE", "refine_steps", int),
+        ("EE_CORR", "corrector", int),
+        ("EE_MU_INIT", "mu_init", float),
+        ("EE_KAPPA_MU", "kappa_mu", float),
+        ("EE_LS", "n_linesearch", int),
+        ("EE_MAXIT", "max_iter", int),
+        ("EE_MU", "mu_strategy", str),
+        ("EE_PREC", "matmul_precision", str),
+    ):
+        if os.environ.get(env):
+            over[field] = cast(os.environ[env])
+    if over:
+        import dataclasses as _dc
+
+        from landing_controller_tpu.solver import IPConfig
+
+        base_cfg = IPConfig(
+            max_iter=200, hessian_mode="gn", relax_scale=0.0, delta_c=1e-6,
+            mu_min=1e-5, tol=2e-4, sigma_max=1e5, refine_steps=5,
+        )
+        ip_config = _dc.replace(base_cfg, **over)
+        print(f"[config] overrides: {over}", flush=True)
+
+    s = EEParamSolver(ip_config=ip_config)
     base = s.build_params()
     rng = np.random.default_rng(0)
 
@@ -88,6 +119,8 @@ def main():
         "reference": "quadruped_SRBM_eeParam.m:324-409 (IPOPT, one scenario at a time)",
     }
     print(json.dumps(out), flush=True)
+    if os.environ.get("EE_WRITE", "1") != "1":
+        return
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "landing_controller_tpu", "data", "eeparam_bench.json",
