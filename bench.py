@@ -424,18 +424,22 @@ def worker_main():
     # committed bench_cache, loads) the fused device-resident step — one
     # executable for init + segment + harvest/refill, jit-cached per pool
     # size — so the measured run's wall clock is pure solve throughput.
-    # The committed jax.export blob (stream_step.jaxexport) skips the
-    # multi-second tracing/lowering pass entirely when its content key
-    # matches this exact configuration; compilation of the deserialized
-    # StableHLO then hits the persistent cache (the two-layer ".casadi
-    # artifact" analogue).  BENCH_EXPORT=1 regenerates the blob.
+    # BENCH_AOT=1 loads a jax.export blob (see stream.export_step) instead
+    # of tracing.  Measured on this jax version and REJECTED as the
+    # default: the deserialized StableHLO does not hit the persistent
+    # cache (different module fingerprint -> full 215 s recompile) and the
+    # resulting executable ran the same pool 4.4x slower (28.3 s vs
+    # 6.4 s at identical convergence/iterations) — the exported calling
+    # convention defeats the compile-cache artifact.  The shipped
+    # fast path is the committed bench_cache/ compile-cache seed.
+    # BENCH_EXPORT=1 regenerates the blob for future re-evaluation.
     hb("compile_start")
     n = int(os.environ.get("BENCH_N", str(6 * B)))
     aot_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_cache",
         "stream_step.jaxexport",
     )
-    if os.environ.get("BENCH_AOT", "1") == "1":
+    if os.environ.get("BENCH_AOT", "0") == "1":
         extra["aot"] = ss.load_step(aot_path, n)
     ss.run(n, max_wall_s=0.0)
     if os.environ.get("BENCH_EXPORT") == "1" and not extra.get("aot"):

@@ -436,6 +436,11 @@ class EEParamSolver:
                 # (feasibility still reaches ~1e-4); f64 honors 1e-4
                 tol=2e-4 if dtype == jnp.float32 else 1e-4,
                 sigma_max=1e5 if dtype == jnp.float32 else 1e8,
+                # 2-candidate inertia ladder: measured identical
+                # convergence to the 4-candidate default at -22% batch
+                # wall on the TPU drop sweep (tools/eeparam_bench.py,
+                # round 5: 4.78 vs 3.71 solves/s)
+                ladder_scales=(0.0, 1.0),
                 # 5 refinement sweeps, not 3: the *batched* (vmapped) f32
                 # KKT path orders its reductions differently from the
                 # single-scenario path, and at 3 sweeps one bench lane
