@@ -441,12 +441,14 @@ class EEParamSolver:
                 # wall on the TPU drop sweep (tools/eeparam_bench.py,
                 # round 5: 4.78 vs 3.71 solves/s)
                 ladder_scales=(0.0, 1.0),
-                # 5 refinement sweeps, not 3: the *batched* (vmapped) f32
+                # 7 refinement sweeps, not 3: the *batched* (vmapped) f32
                 # KKT path orders its reductions differently from the
-                # single-scenario path, and at 3 sweeps one bench lane
-                # plateaued at kkt~3e-3; at 5 both paths polish to ~1e-4
-                # in fewer total iterations (measured: it 200 -> 100)
-                refine_steps=5 if dtype == jnp.float32 else 1,
+                # single-scenario path, and at 3-5 sweeps individual bench
+                # lanes plateau at kkt ~3e-3 (the exact lane depends on
+                # the initial guess — the round-5 ballistic-informed guess
+                # moved the plateau to a different scenario); at 7 both
+                # paths polish to ~2e-4 (measured, round-5 battery)
+                refine_steps=7 if dtype == jnp.float32 else 1,
             )
         self.config = ip_config
         self._solve_one = jax.jit(self._solve_impl)

@@ -212,14 +212,50 @@ class EEParamProblem:
         return EEParamVars(**out)
 
     def initial_guess(self, theta: EEParamParams) -> jnp.ndarray:
+        """Ballistic-informed initial guess (round 5).
+
+        The original guess encoded a constant-position base per segment
+        (linear z interp in the a0 slots only) with 50/50 phase
+        durations — dynamically impossible during the flight phase, the
+        same failure mode the srbm family's linspace guess had (its
+        ballistic replacement measured +38% converged/s there).  Here
+        the base z polynomials carry the exact ballistic arc until the
+        predicted touchdown, then hold the target height, and the phase
+        durations start at the predicted flight time instead of T/2.
+        Everything is branch-free in theta (vmappable)."""
         c = self.config
         dtype = theta.r_init.dtype
+        g = jnp.asarray(9.81, dtype)
+        z0, vz0 = theta.r_init[2], theta.rdot_init[2]
+        # touchdown: z0 + vz t - g t^2/2 == r_des_z  (clamped into (0, T))
+        disc = jnp.maximum(vz0 * vz0 + 2.0 * g * (z0 - theta.r_des[2]), 0.0)
+        t_td = jnp.clip((vz0 + jnp.sqrt(disc)) / g, 0.05, theta.horizon - 0.05)
+
         base_lin = jnp.zeros((c.n_base, 3, 6), dtype)
-        # constant-position guess: a0 = linear interp of r
-        zs = jnp.linspace(theta.r_init[2], theta.r_des[2], c.n_base)
-        base_lin = base_lin.at[:, 2, 5].set(zs)
+        db = jnp.asarray(c.dt_base, dtype)
+        t_seg = jnp.arange(c.n_base, dtype=dtype) * db  # segment start times
+        # ballistic z in physical segment-local time tau:
+        #   z(t_seg + tau) = z(t_seg) + (vz0 - g t_seg) tau - g/2 tau^2
+        z_at = z0 + vz0 * t_seg - 0.5 * g * t_seg * t_seg
+        vz_at = vz0 - g * t_seg
+        in_flight = t_seg < t_td  # segment starts airborne
+        a0 = jnp.where(in_flight, z_at, theta.r_des[2])
+        a1 = jnp.where(in_flight, vz_at, 0.0)
+        a2 = jnp.where(in_flight, -0.5 * g, 0.0)
+        base_lin = base_lin.at[:, 2, 5].set(a0)
+        base_lin = base_lin.at[:, 2, 4].set(a1)
+        base_lin = base_lin.at[:, 2, 3].set(a2)
+        # xy: constant at the initial position with the initial velocity
+        # decaying over the horizon
+        for ax in (0, 1):
+            base_lin = base_lin.at[:, ax, 5].set(theta.r_init[ax])
         base_ang = jnp.zeros((c.n_base, 3, 6), dtype)
-        durations = jnp.full((4, c.n_phases), theta.horizon / c.n_phases, dtype)
+        base_ang = base_ang.at[:, :, 5].set(theta.theta_init[None, :])
+        # phase durations: [flight ~ t_td, stance = T - t_td] per leg
+        durations = jnp.stack(
+            [jnp.full(4, t_td, dtype), jnp.full(4, theta.horizon - t_td, dtype)],
+            axis=1,
+        )
         force = jnp.zeros((4, c.n_force_splines, 3, 4), dtype)
         # stance force guess: support weight
         fz = theta.mass * 9.81 / 4.0

@@ -57,7 +57,18 @@ def main():
         )
 
     srbm = LandingSolver("srbm_lcp", dtype=jnp.float32, structured=True, config=mk_cfg(200))
-    kino = LandingSolver("kinodynamic", dtype=jnp.float32, structured=True, config=mk_cfg(200))
+    # bootstrapping iteration (round 5): the factory's failed COLD lanes
+    # retry from the CURRENT committed NN guess, so hard-drop scenarios
+    # that only the learned seed can land enter the next dataset — the
+    # retrained network then covers the corner its predecessor rescued.
+    # (A converged solution is a valid training sample regardless of what
+    # seeded the solve; the reference's own factory is seeded too —
+    # generate_training_data_automated.m:121-176.)
+    retry = "nn" if os.environ.get("FACTORY_NN_RETRY", "1") == "1" else None
+    kino = LandingSolver(
+        "kinodynamic", dtype=jnp.float32, structured=True, config=mk_cfg(200),
+        retry_guess=retry,
+    )
 
     # streaming factory (device-resident refill): cold kinodynamic solves
     # converge at ~0.8 on the factory distribution and stream at the
